@@ -1,0 +1,97 @@
+"""Record decoding & type normalization — operators O12/O13/O20 (SURVEY §2.1).
+
+The reference converts every MySQL value to its JSON-Schema type row-at-a-time
+(``Convert``, cmd/internal/value_converter.go:11-45; RFC3339 reformat
+:47-57) and parses Singer messages line-by-line (cmd/http-tap/main.go:98-126).
+Here the same semantics run columnar: native ``cast()`` expressions (JVM,
+whole-stage codegen) for everything Catalyst can do, and ONE Arrow-vectorized
+pandas UDF for the date-time-string reformat whose failure semantics
+(unparseable -> "" empty string; fraction truncated; NULL passes through)
+built-ins don't reproduce exactly (value_converter_test.go:88-109).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+@dataclass
+class PropertySpec:
+    """JSON-Schema property — StreamProperty analogue (types.go:125-153)."""
+
+    types: list[str] = field(default_factory=lambda: ["null", "string"])
+    custom_format: str | None = None  # "date-time"
+
+    def is_type(self, t: str) -> bool:
+        return t in self.types
+
+
+@pandas_udf(T.StringType())
+def rfc3339(s: pd.Series) -> pd.Series:
+    """Vectorized ``getISOTimeStamp`` (value_converter.go:47-57): parse a
+    datetime string, emit RFC3339 with fractional seconds TRUNCATED; a value
+    that fails to parse becomes ``""`` (the reference's documented quirk,
+    value_converter_test.go:88-90); NULL stays NULL (:23-25)."""
+    parsed = pd.to_datetime(s, errors="coerce", format="mixed")
+    out = parsed.dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+    out[parsed.isna()] = ""
+    out[s.isna()] = None
+    return out
+
+
+def normalize_column(
+    name: str, spec: PropertySpec, *, tinyint_as_boolean: bool = True
+) -> Column:
+    """One column of the §1.2 type table as a Catalyst expression.
+
+    integer -> long, number -> double, boolean -> boolean (the
+    ``--tinyint-as-boolean`` switch, singer-tap/main.go:43), date-time
+    string -> RFC3339 via :func:`rfc3339`, everything else -> string.
+    NULLs pass through every branch (``["null", T]`` unions, types.go:119-128).
+    """
+    c = F.col(name)
+    if spec.custom_format == "date-time":
+        return rfc3339(c.cast("string"))
+    if spec.is_type("boolean"):
+        return c.cast("boolean") if tinyint_as_boolean else c.cast("long")
+    if spec.is_type("integer"):
+        return c.cast("long")
+    if spec.is_type("number"):
+        return c.cast("double")
+    return c.cast("string")
+
+
+def normalize(
+    df: DataFrame,
+    specs: dict[str, PropertySpec],
+    *,
+    tinyint_as_boolean: bool = True,
+) -> DataFrame:
+    """Apply :func:`normalize_column` to every spec'd column, projecting
+    ONLY spec'd columns (selected-properties semantics, sync.go:149-172)."""
+    return df.select(
+        *[
+            normalize_column(n, s, tinyint_as_boolean=tinyint_as_boolean).alias(n)
+            for n, s in specs.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Singer-message envelope decoding (O20) — raw JSON-lines change feed.
+# ---------------------------------------------------------------------------
+
+def decode_json_changes(raw: DataFrame, payload_schema: T.StructType) -> DataFrame:
+    """Parse a DataFrame of raw JSON lines (column ``value``) into typed
+    change events — ``parseInput``'s RECORD branch (http-tap/main.go:98-126)
+    as one JVM-side ``from_json``; no Python in the loop."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("r")
+    )
+    return parsed.select("r.*")

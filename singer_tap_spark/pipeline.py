@@ -1,0 +1,257 @@
+"""The CDC pipeline — sync mode, end to end (SURVEY §3 EP2's Spark shape).
+
+    change-log tail -> projection -> exact-dup drop -> LWW dedup
+        -> bucket-pruned MERGE -> lineage checkpoint
+
+Batch replay (:meth:`CDCPipeline.replay`) is the bounded peek-then-drain
+session (operator O7 — the reference converts the infinite VStream into
+repeatable bounded reads, planetscale_edge_database.go:193-235); streaming
+(:meth:`CDCPipeline.run_streaming`) is the same plan under Structured
+Streaming with ``Trigger.AvailableNow`` + ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from singer_tap_spark.dedup import drop_exact_duplicates
+from singer_tap_spark.lake import ParquetLakeTable
+from singer_tap_spark.lineage import Lineage, ShardCursor
+from singer_tap_spark.metrics import BatchMetrics, RunMetrics
+
+FULL_TABLE = "FULL_TABLE"
+INCREMENTAL = "INCREMENTAL"
+
+# columns the engine itself needs — the 'automatic inclusion' set
+# (key properties can never be deselected, types.go:274-281)
+_MANDATORY = ["shard", "offset", "seq", "op", "ts"]
+
+
+@dataclass
+class PipelineConfig:
+    changelog_path: str
+    target_path: str
+    lineage_path: str
+    checkpoint_dir: str | None = None
+    stream_name: str = "transcripts"
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    replication_method: str = INCREMENTAL
+    watermark_delay: str = "10 minutes"
+    n_buckets: int = 16
+    # payload projection (keys + engine columns always included — O11)
+    selected_columns: list[str] | None = None
+    last_pk: dict | None = None  # mid-table resume (O8)
+
+
+class CDCPipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.lake = ParquetLakeTable(
+            spark,
+            cfg.target_path,
+            key_cols=cfg.key_cols,
+            bucket_key=cfg.key_cols[0],
+            n_buckets=cfg.n_buckets,
+        )
+        self.metrics = RunMetrics()
+
+    # -- source --------------------------------------------------------------
+    def _log_schema(self):
+        """Unified change-log schema across segments written before/after a
+        schema-evolution event (add-column / type-widen, FIXTURES.md §7.7).
+
+        Spark's parquet ``mergeSchema`` refuses int->long widening, but the
+        4.x reader happily reads narrow files under a wider *requested*
+        schema — so we fold the distinct footer schemas with our own
+        :func:`evolve_schema` and pass the result explicitly.  This is a
+        driver-side metadata pass over footers; the Iceberg/production path
+        gets the same answer from table metadata in O(1).
+        """
+        import pyarrow.dataset as pds
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from singer_tap_spark.evolve import evolve_schema
+
+        d = pds.dataset(self.cfg.changelog_path, format="parquet", partitioning="hive")
+        folded = None
+        seen: set[str] = set()
+        for frag in d.get_fragments():
+            key = str(frag.physical_schema)
+            if key in seen:
+                continue
+            seen.add(key)
+            s = from_arrow_schema(frag.physical_schema)
+            folded = s if folded is None else evolve_schema(folded, s)[0]
+        if folded is None:
+            raise FileNotFoundError(f"empty change log: {self.cfg.changelog_path}")
+        if "shard" not in folded.names:  # hive partition column lives in dir names
+            folded = folded.add("shard", "string")
+        return folded
+
+    def _read_changelog(self) -> DataFrame:
+        df = self.spark.read.schema(self._log_schema()).parquet(
+            self.cfg.changelog_path
+        )
+        return self._project(df)
+
+    def _project(self, df: DataFrame) -> DataFrame:
+        """Column projection (O11): selected payload columns only; keys and
+        engine columns always ride along.  Catalyst pushes this into the
+        parquet scan (ReadSchema pruning)."""
+        if self.cfg.selected_columns is None:
+            return df
+        keep = [c for c in df.columns
+                if c in _MANDATORY
+                or c in self.cfg.key_cols
+                or c == "schema_version"
+                or c in self.cfg.selected_columns]
+        return df.select(*keep)
+
+    def _resume_filter(self, df: DataFrame, lineage: Lineage) -> DataFrame:
+        """Per-shard ``offset > saved`` resume — the GTID-cursor restart
+        (planetscale_edge_database.go:175-186).  Emitted as an OR-of-ANDs
+        predicate so it prunes shard partitions AND pushes to parquet."""
+        shards = lineage.streams.get(self.cfg.stream_name, {})
+        preds = [
+            (F.col("shard") == s) & (F.col("offset") > c.offset)
+            for s, c in shards.items()
+            if c.offset >= 0
+        ]
+        known = [s for s, c in shards.items() if c.offset >= 0]
+        unknown = ~F.col("shard").isin(known) if known else F.lit(True)
+        if not preds:
+            return df
+        return df.where(reduce(lambda a, b: a | b, preds) | unknown)
+
+    @staticmethod
+    def pk_resume_filter(df: DataFrame, key_cols: tuple[str, ...], last_pk: dict) -> DataFrame:
+        """Mid-table snapshot resume: keep rows with PK tuple > last_pk
+        (filterFields/LastKnownPk semantics, planetscale_edge_database.go
+        :244-252) — struct comparison is lexicographic, matching PK order."""
+        lhs = F.struct(*[F.col(c) for c in key_cols])
+        rhs = F.struct(*[F.lit(last_pk[c]).alias(c) for c in key_cols])
+        return df.where(lhs > rhs)
+
+    # -- one micro-batch -------------------------------------------------------
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> BatchMetrics:
+        """Dedup + MERGE + lineage, in the flush-before-state order
+        (sync.go:96-142): the lake commit happens BEFORE the cursor advances;
+        a crash in between replays the batch and the (ts, seq) merge guard
+        absorbs it."""
+        t0 = time.monotonic()
+        batch = drop_exact_duplicates(self._project(batch))
+        batch = batch.persist()
+        try:
+            # one small agg job over the batch: per-shard high-water marks +
+            # event count (the cursor advance, OnCursor analogue)
+            stats = (
+                batch.groupBy("shard")
+                .agg(F.max("offset").alias("mx"), F.count("*").alias("n"))
+                .collect()
+            )
+            n_events = sum(r["n"] for r in stats)
+            if n_events == 0:
+                return BatchMetrics(batch_id, 0, -1, 0, time.monotonic() - t0)
+            ms = self.lake.merge(batch.drop("schema_version"), batch_id)
+            lineage = Lineage.load(self.cfg.lineage_path) or Lineage.empty(
+                self.cfg.stream_name, []
+            )
+            lineage.advance(
+                self.cfg.stream_name,
+                {r["shard"]: r["mx"] for r in stats},
+                batch_id,
+                ms.commit_id,
+            )
+            lineage.save(self.cfg.lineage_path)
+            bm = BatchMetrics(
+                batch_id,
+                n_events,
+                ms.rows_after,
+                ms.affected_buckets,
+                time.monotonic() - t0,
+                ms.schema_changes,
+            )
+            self.metrics.add(bm)
+            return bm
+        finally:
+            batch.unpersist()
+
+    # -- batch replay (bounded sessions, O7) ----------------------------------
+    def replay(self, n_batches: int = 1) -> RunMetrics:
+        """Process everything currently in the change log (peek-then-drain),
+        optionally in ``n_batches`` seq-ranged sessions so resume/crash tests
+        have boundaries to interrupt at.  FULL_TABLE mode ignores saved
+        lineage and rebuilds from offset zero (sync.go:81-83)."""
+        df = self._read_changelog()
+        lineage = Lineage.load(self.cfg.lineage_path)
+        if self.cfg.replication_method == INCREMENTAL and lineage is not None:
+            retained = {
+                r["shard"]: r["mn"]
+                for r in df.groupBy("shard").agg(F.min("offset").alias("mn")).collect()
+            }
+            lineage.check_not_stale(self.cfg.stream_name, retained)
+            df = self._resume_filter(df, lineage)
+        if self.cfg.last_pk:
+            df = self.pk_resume_filter(df, self.cfg.key_cols, self.cfg.last_pk)
+
+        start_batch = 0
+        if lineage is not None and self.cfg.replication_method == INCREMENTAL:
+            cursors = lineage.streams.get(self.cfg.stream_name, {}).values()
+            done = [c.batch_id for c in cursors if c.batch_id >= 0]
+            start_batch = (max(done) + 1) if done else 0
+
+        if n_batches <= 1:
+            self.apply_batch(df, start_batch)
+            return self.metrics
+        # seq-ranged sessions: the 90-second-VStream-session analogue
+        bounds = df.agg(F.min("seq"), F.max("seq")).collect()[0]
+        if bounds[0] is None:
+            return self.metrics
+        lo, hi = bounds[0], bounds[1] + 1
+        step = max(1, (hi - lo + n_batches - 1) // n_batches)
+        for i in range(n_batches):
+            a, b = lo + i * step, lo + (i + 1) * step
+            if a >= hi:
+                break
+            self.apply_batch(df.where((F.col("seq") >= a) & (F.col("seq") < b)),
+                             start_batch + i)
+        return self.metrics
+
+    # -- structured streaming ---------------------------------------------------
+    def run_streaming(self, available_now: bool = True) -> RunMetrics:
+        """The same plan as :meth:`replay` under Structured Streaming:
+        ``AvailableNow`` reproduces peek-then-drain bounded sessions
+        (planetscale_edge_database.go:193-235); the checkpoint WAL is the
+        cursor store; ``dropDuplicatesWithinWatermark`` bounds dedup state
+        (the 10^10-event argument: in-watermark dups die here, cross-
+        watermark replays die on the merge's seq guard)."""
+        if not self.cfg.checkpoint_dir:
+            raise ValueError("checkpoint_dir required for streaming")
+        # schema fixed per session — a mid-stream DDL needs a session restart,
+        # exactly the reference's re-discover-then-re-emit-SCHEMA model
+        # (sync.go:63-66); the next session's _log_schema() picks it up.
+        src = (
+            self.spark.readStream.schema(self._log_schema())
+            .option("maxFilesPerTrigger", 64)  # pacing (batch-size analogue)
+            .parquet(self.cfg.changelog_path)
+        )
+        src = src.withWatermark("ts", self.cfg.watermark_delay)
+        src = src.dropDuplicatesWithinWatermark(["shard", "offset", "seq"])
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df, batch_id)
+
+        writer = src.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", self.cfg.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        q.awaitTermination()
+        return self.metrics

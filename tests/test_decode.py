@@ -1,0 +1,75 @@
+"""Type normalization & decode — the value_converter fixture table
+(FIXTURES.md §5; value_converter_test.go:15-109)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from singer_tap_spark.changelog import CHANGE_SCHEMA, generate_changelog
+from singer_tap_spark.decode import (
+    PropertySpec,
+    decode_json_changes,
+    normalize,
+    rfc3339,
+)
+
+
+def test_rfc3339_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("2023-03-23 14:28:21.592111",),  # fraction truncated
+            ("2021-02-03 04:05:06",),
+            ("not a date",),  # unparseable -> "" (value_converter.go:52-55)
+            (None,),  # NULL passes through (:23-25)
+        ],
+        "v string",
+    )
+    got = [r["o"] for r in df.select(rfc3339("v").alias("o")).collect()]
+    assert got == ["2023-03-23T14:28:21Z", "2021-02-03T04:05:06Z", "", None]
+
+
+def test_normalize_types(spark):
+    df = spark.createDataFrame(
+        [("12", "3.1415927E+00", 1, "2023-03-23 14:28:21.59", "x"),
+         (None, None, None, None, None)],
+        "i string, f string, b int, dt string, s string",
+    )
+    specs = {
+        "i": PropertySpec(["null", "integer"]),
+        "f": PropertySpec(["null", "number"]),
+        "b": PropertySpec(["null", "boolean"]),
+        "dt": PropertySpec(["null", "string"], custom_format="date-time"),
+        "s": PropertySpec(["null", "string"]),
+    }
+    out = normalize(df, specs)
+    assert dict(out.dtypes) == {
+        "i": "bigint", "f": "double", "b": "boolean", "dt": "string", "s": "string"
+    }
+    row, nulls = out.collect()[0], out.collect()[1]
+    assert row["i"] == 12
+    assert abs(row["f"] - 3.1415927) < 1e-9
+    assert row["b"] is True
+    assert row["dt"] == "2023-03-23T14:28:21Z"
+    assert all(nulls[c] is None for c in ["i", "f", "b", "dt", "s"])
+
+
+def test_tinyint_as_boolean_switch(spark):
+    """--tinyint-as-boolean flag semantics (singer-tap/main.go:43)."""
+    df = spark.createDataFrame([(1,), (0,)], "b int")
+    spec = {"b": PropertySpec(["null", "boolean"])}
+    on = [r["b"] for r in normalize(df, spec, tinyint_as_boolean=True).collect()]
+    off = [r["b"] for r in normalize(df, spec, tinyint_as_boolean=False).collect()]
+    assert on == [True, False]
+    assert off == [1, 0]
+
+
+def test_decode_json_changes_roundtrip(spark):
+    """Singer RECORD-line parsing (O20) as one JVM from_json — no Python."""
+    events = generate_changelog(spark, 500, delete_frac=0.1)
+    raw = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    back = decode_json_changes(raw, CHANGE_SCHEMA)
+    # from_json always yields nullable fields; compare names + types
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in CHANGE_SCHEMA.fields
+    ]
+    assert back.exceptAll(events).count() == 0
+    assert events.exceptAll(back).count() == 0

@@ -1,0 +1,52 @@
+"""Structured Streaming path: AvailableNow bounded sessions (O7), checkpoint
+resume, watermarked exact-dup drop — matches the batch path's final state."""
+
+from pyspark.sql import functions as F
+
+from singer_tap_spark import CDCPipeline, PipelineConfig
+from singer_tap_spark.changelog import generate_changelog, write_changelog
+from tests.conftest import assert_frames_equal, duck, lww_oracle_sql
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _cfg(base):
+    return PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lineage.json",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+
+
+def test_streaming_matches_oracle(spark, tmp_path):
+    base = str(tmp_path)
+    df = generate_changelog(spark, 8000, delete_frac=0.1, update_frac=0.4, dup_frac=0.05)
+    write_changelog(df, f"{base}/log")
+    p = CDCPipeline(spark, _cfg(base))
+    m = p.run_streaming(available_now=True)
+    assert m.total_events > 0
+    got = p.lake.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts").toPandas()
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
+    assert_frames_equal(got, want, KEYS)
+
+
+def test_streaming_checkpoint_resume(spark, tmp_path):
+    """Second AvailableNow session picks up ONLY newly-landed files from the
+    checkpoint (the GTID-cursor restart, O6/O18) and converges."""
+    base = str(tmp_path)
+    df = generate_changelog(spark, 9000, update_frac=0.3, delete_frac=0.08)
+    write_changelog(df.where("seq < 5000"), f"{base}/log")
+    cfg = _cfg(base)
+    CDCPipeline(spark, cfg).run_streaming(available_now=True)
+
+    df.where("seq >= 5000").repartition(2).write.mode("append").partitionBy(
+        "shard"
+    ).parquet(f"{base}/log")
+    p2 = CDCPipeline(spark, cfg)
+    m2 = p2.run_streaming(available_now=True)
+    assert 0 < m2.total_events <= 4000
+
+    got = p2.lake.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts").toPandas()
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
+    assert_frames_equal(got, want, KEYS)
