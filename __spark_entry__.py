@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC query (LWW latest state per key) at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data ops); each callable takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twin for every SQL-expressible
+query (same column names; driver hash-compares values).  Ops whose hashing
+primitive DuckDB cannot reproduce (xxhash64-based MinHash/SimHash/LSH) are
+rows-only and covered by pytest oracles instead.
 """
 
 from __future__ import annotations
@@ -12,27 +14,392 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from singer_tap_spark.dedup import drop_exact_duplicates, lww_latest
+from singer_tap_spark.ops.dedup_text import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from singer_tap_spark.ops.similarity import brute_force_topk, lsh_ann_topk
+from singer_tap_spark.ops.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+# events is the CDC stand-in table: key = (user_id, event_type),
+# LWW order = (ts, event_id)  [event_id doubles as the emit sequence]
+_KEY = ["user_id", "event_type"]
+_ORD = ["ts", "event_id"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW-latest state per (user_id, event_type) — the engine's
+    core dedup operator — on sf0.001 events."""
+    return q_lww_latest_per_key(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# CDC-core operator queries (SURVEY §2.1 / §7.4)
+# --------------------------------------------------------------------------
+
+def q_lww_latest_per_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = lww_latest(ev, _KEY, _ORD, value_cols=["value", "ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+def q_merge_final_state(spark, sf_dir):
+    """Two-session keyed MERGE emulation: events split into two change
+    batches (by event_id parity), second merged over the first with the
+    (ts, seq) guard; DELETE op derived deterministically.  Equals the
+    one-pass LWW final state (the idempotence theorem the pytest suite
+    proves on the real sink)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("op"),
+    )
+    b1 = ev.where(F.col("seq") % 2 == 0)
+    b2 = ev.where(F.col("seq") % 2 == 1)
+    s1 = lww_latest(b1, _KEY, ("ts", "seq"))
+    merged = lww_latest(s1.unionByName(b2), _KEY, ("ts", "seq"))
+    return merged.where(F.col("op") != "DELETE").select(
+        "user_id", "event_type", "value", "ts", "seq"
+    )
+
+
+def q_dedup_exact_replay(spark, sf_dir):
+    """Exact replay-duplicate drop (O17): the log unioned with itself must
+    come back to one row per emitted event."""
+    ev = _t(spark, sf_dir, "events")
+    return drop_exact_duplicates(ev.unionByName(ev), ["event_id"]).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+def q_shard_partition_counts(spark, sf_dir):
+    """Shard/topology scan (O5): events per shard + high-water mark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("shard", (F.col("user_id") % 8).cast("bigint"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_events"), F.max("event_id").alias("max_offset"))
+    )
+
+
+def q_type_normalization(spark, sf_dir):
+    """O12: integer->long, number->double, timestamp->RFC3339 string with
+    fraction truncated (value_converter.go:47-57 semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id_long"),
+        F.col("value").cast("double").alias("value_double"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_rfc3339"),
+        F.col("event_type").cast("string").alias("event_type_str"),
+    )
+
+
+def q_projection_pushdown(spark, sf_dir):
+    """O11: selected-columns projection + predicate, both pushed into the
+    parquet scan (ReadSchema/PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").where(
+        F.col("l_quantity") < 10
+    )
+
+
+def q_incremental_vs_full_rowcount(spark, sf_dir):
+    """O19 FULL_TABLE-vs-INCREMENTAL semantics as row counts from a cursor."""
+    ev = _t(spark, sf_dir, "events")
+    full = ev.agg(F.count("*").alias("n")).select(F.lit("full").alias("mode"), "n")
+    inc = (
+        ev.where(F.col("event_id") > 5000)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("incremental").alias("mode"), "n")
+    )
+    return full.unionByName(inc)
+
+
+def q_pk_resume_filter(spark, sf_dir):
+    """O8: mid-table resume — PK tuple strictly greater than last_pk
+    (lexicographic struct comparison = row-value comparison)."""
+    ev = _t(spark, sf_dir, "events")
+    lhs = F.struct(F.col("user_id"), F.col("event_type"))
+    rhs = F.struct(F.lit(75).cast("long").alias("user_id"), F.lit("purchase").alias("event_type"))
+    return ev.where(lhs > rhs).select("event_id", "user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline ops (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_docs_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_docs_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_docs_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_docs_exact_dedup(spark, sf_dir):
+    """Exact near-dup grouping on the doubled corpus (forces n_dups=2)."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d.unionByName(d))
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.35)
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries, k=5)
+
+
+# rows-only (xxhash64-based — DuckDB cannot reproduce; pytest oracles cover):
+
+def q_docs_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return minhash_lsh_candidates(d.unionByName(
+        # planted near-dups: same text re-labeled with offset ids
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    ), verify_threshold=0.5)
+
+
+def q_docs_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+def q_emb_lsh_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return lsh_ann_topk(emb, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lww_latest_per_key": q_lww_latest_per_key,
+        "merge_final_state": q_merge_final_state,
+        "dedup_exact_replay": q_dedup_exact_replay,
+        "shard_partition_counts": q_shard_partition_counts,
+        "type_normalization": q_type_normalization,
+        "projection_pushdown": q_projection_pushdown,
+        "incremental_vs_full_rowcount": q_incremental_vs_full_rowcount,
+        "pk_resume_filter": q_pk_resume_filter,
+        "docs_token_count": q_docs_token_count,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_quality_score": q_docs_quality_score,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
+        "emb_lsh_ann": q_emb_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL over the pre-registered views)
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# language-ID chain, mirroring singer_tap_spark.ops.text.lang_id exactly
+# (codes iterated in sorted order; strict > so earlier code wins ties)
+_LANG_SQL = """
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\\b(der|die|und|das|nicht|ist)\\b')) AS n_de,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b'))  AS n_en,
+    len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los|una)\\b'))    AS n_es,
+    len(regexp_extract_all(lower(text), '\\b(le|la|les|des|une|est|dans)\\b')) AS n_fr,
+    length(trim(text)) AS lt
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN coalesce(lt, 0) = 0 THEN 'und'
+       WHEN n_fr > greatest(n_de, n_en, n_es) THEN 'fr'
+       WHEN n_es > greatest(n_de, n_en) THEN 'es'
+       WHEN n_en > n_de THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM c
+"""
+
+_QUALITY_SQL = """
+WITH c AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b')) AS stop,
+    length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents
+)
+SELECT doc_id,
+  round(
+    0.35 * least(1.0, n_chars / 500.0)
+  + 0.25 * least(1.0, (CASE WHEN toks > 0 THEN stop * 1.0 / toks ELSE 0.0 END) * 4)
+  + 0.20 * (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END) * 5))
+  + 0.20 * (CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END)
+  , 4) AS quality
+FROM c
+"""
+
+_JACCARD_SQL = """
+WITH docs AS (
+  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT DISTINCT id, substr(t, i, 3) AS shingle
+  FROM docs, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS u(i)
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), pairs AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS inter
+  FROM sh l JOIN sh r USING (shingle) WHERE l.id < r.id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+  round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.35
+"""
+
+_COSINE_SQL = """
+WITH u AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM u
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_sum(list_transform(range(1, len(q.uv) + 1),
+                                  i -> q.uv[i] * c.uv[i])), 6) AS cos_sim
+  FROM unit q JOIN unit c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lww_latest_per_key": """
+            SELECT user_id, event_type,
+                   value AS last_value, ts AS last_ts, event_id AS last_event_id
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1
+        """,
+        "merge_final_state": """
+            WITH ev AS (
+              SELECT user_id, event_type, value, ts, event_id AS seq,
+                     CASE WHEN event_id % 17 = 0 THEN 'DELETE' ELSE 'UPSERT' END AS op
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts DESC, seq DESC) AS rn
+              FROM ev
+            )
+            SELECT user_id, event_type, value, ts, seq
+            FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+        """,
+        "dedup_exact_replay": """
+            SELECT event_id, user_id, event_type, value, ts FROM events
+        """,
+        "shard_partition_counts": """
+            SELECT user_id % 8 AS shard, count(*) AS n_events,
+                   max(event_id) AS max_offset
+            FROM events GROUP BY 1
+        """,
+        "type_normalization": """
+            SELECT event_id,
+                   CAST(user_id AS BIGINT) AS user_id_long,
+                   CAST(value AS DOUBLE) AS value_double,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_rfc3339,
+                   CAST(event_type AS VARCHAR) AS event_type_str
+            FROM events
+        """,
+        "projection_pushdown": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_quantity < 10
+        """,
+        "incremental_vs_full_rowcount": """
+            SELECT 'full' AS mode, count(*) AS n FROM events
+            UNION ALL
+            SELECT 'incremental' AS mode, count(*) AS n FROM events
+            WHERE event_id > 5000
+        """,
+        "pk_resume_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE (user_id, event_type) > (75, 'purchase')
+        """,
+        "docs_token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "docs_fingerprint": f"""
+            SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+        """,
+        "docs_lang_id": _LANG_SQL,
+        "docs_quality_score": _QUALITY_SQL,
+        "docs_exact_dedup": f"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM documents
+            )
+            SELECT md5({_NORM_SQL}) AS fingerprint,
+                   min(doc_id) AS canonical_id, count(*) AS n_dups
+            FROM doubled GROUP BY 1
+        """,
+        "docs_ngram_jaccard": _JACCARD_SQL,
+        "emb_cosine_topk": _COSINE_SQL,
+        # docs_minhash_lsh / docs_simhash / emb_lsh_ann: xxhash64 + seeded-
+        # hyperplane based — not reproducible in DuckDB; rows-only here,
+        # exact-oracle checks live in tests/test_ops_*.py
+    }

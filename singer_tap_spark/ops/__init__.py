@@ -1,0 +1,27 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's CDC capability set, these are the operations a
+100 TB transcript/document lake needs: dedup (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine), similarity search (brute-force + LSH ANN),
+text analysis (language-ID, quality scoring, token counting, fingerprinting)
+and multimodal column plumbing.  Everything is built on native
+``pyspark.sql.functions`` (JVM, whole-stage codegen) — pandas UDFs appear
+only where a loop over array elements would otherwise be per-row Python.
+"""
+
+from singer_tap_spark.ops.text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from singer_tap_spark.ops.dedup_text import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from singer_tap_spark.ops.similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_ann_topk,
+)

@@ -1,0 +1,218 @@
+"""Document deduplication — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (these run over 10^9-document corpora):
+
+- exact: one hash-groupBy on the md5 fingerprint — one shuffle, map-side
+  partial agg, skew-free (fingerprints are uniform).
+- n-gram Jaccard: exact pairwise similarity via a shingle self-join — the
+  shuffle is on shingle, and frequent shingles explode quadratically; use it
+  as the VERIFIER for candidate pairs, not the discovery pass.
+- MinHash+LSH: the discovery pass — per-doc signature (one groupBy over
+  exploded shingles with K min-aggregates = one shuffle), band-bucket join
+  (equi-join on (band, bucket-hash), broadcast-free, no cross product),
+  then exact Jaccard ONLY on candidates.  This is the standard
+  shingle -> minhash -> band -> bucket-join pipeline.
+- SimHash: one pass, 64 conditional-sum aggregates over exploded tokens;
+  near-dups = equal 16-bit chunks (hamming<=3 by pigeonhole on 4 chunks).
+
+Everything is deterministic: hash functions are xxhash64 with fixed seeds —
+no rand(), same results at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from singer_tap_spark.ops.text import _norm, doc_fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts: canonical = min id, plus group
+    size.  One hash-groupBy (partial-agg, one shuffle)."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def _char_shingles(text_col: str, n: int) -> F.Column:
+    """Distinct character n-grams of the normalized text (JVM-side:
+    sequence + transform + substring — no Python)."""
+    t = _norm(F.col(text_col))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: F.substring(t, i, n),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold (a < b ordered pairs).
+
+    Self-join on shingle: |intersection| = count of shared shingles; union
+    sizes from per-doc shingle counts.  Quadratic in docs-per-shingle —
+    the verifier stage; cap corpus size or pre-bucket with LSH upstream.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_char_shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "a", "sz": "sza"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "sz": "szb"}), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """K minhash values per doc: min over shingles of xxhash64(shingle, k).
+    One explode + one groupBy with K partial-aggregatable mins."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_char_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature -> band buckets -> bucket
+    equi-join -> (optionally) exact-Jaccard verify.
+
+    Returns (a, b, est_jaccard[, jaccard]) with a < b.  est_jaccard is the
+    signature agreement fraction; ``verify_threshold`` adds the exact
+    n-gram Jaccard filter on candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    bands_df = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    cand = (
+        bands_df.alias("l")
+        .join(bands_df.alias("r"), ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.sig").alias("siga"),
+            F.col("r.sig").alias("sigb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    est = cand.select(
+        "a",
+        "b",
+        F.round(
+            F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(num_hashes)),
+            4,
+        ).alias("est_jaccard"),
+    )
+    if verify_threshold is None:
+        return est
+    exact = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, verify_threshold)
+    return est.join(exact, ["a", "b"]).select("a", "b", "est_jaccard", "jaccard")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, the sign of the sum of
+    ±1 votes from each token's hash.  One explode + one groupBy with
+    ``bits`` conditional sums (all partial-aggregatable).  Emits the hash
+    plus 4×16-bit chunks — equal chunks between docs => hamming<=3 candidates
+    (pigeonhole)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(bits - 1)  # keep the sign bit clear: 63 usable bits
+    ]
+    hash_col = sum(bit_terms[1:], bit_terms[0])
+    out = agg.select("id", hash_col.alias("simhash"))
+    return out.select(
+        "id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk{c}")
+            for c in range(4)
+        ],
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small) query
+  set against the corpus; dot products with ``zip_with``/``aggregate``
+  (JVM higher-order functions — NO Python in the loop).  The baseline and
+  the verifier.  Cost: |queries| × |corpus| — fine when queries are few or
+  as a per-bucket refiner.
+- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH.  Each vector
+  gets a ``n_planes``-bit signature; candidates share a signature bucket;
+  exact cosine only within buckets.  Hyperplanes are seeded numpy —
+  deterministic, broadcast as literal arrays (a few KB).
+
+At 10^9 vectors the bucket join shuffles on the signature — uniform by
+construction — and the per-bucket refinement is the brute-force kernel
+applied to ~corpus/2^bits sized groups.  (A production IVF variant would
+k-means the corpus; LSH keeps this dependency-free and deterministic.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_vec(col) -> F.Column:
+    """L2-normalize (double precision) so cosine == dot."""
+    nrm = F.sqrt(_dot(col, col))
+    return F.transform(col, lambda x: x / nrm)
+
+
+def with_unit_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "_unit", _norm_vec(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus (self-matches
+    excluded).  Output: (query_id, neighbor_id, cos_sim, rank)."""
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_dot("qv", "cv"), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)  # seeded: same planes everywhere
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def signature_expr(vec_col, planes: list[list[float]]) -> F.Column:
+    """LSH bit-signature: bit p = sign(v · plane_p); assembled as a long."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(vec_col, lit_plane) > 0, F.lit(2**p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sum(bits[1:], bits[0])
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    target_bucket_size: int = 32,
+) -> DataFrame:
+    """Approximate all-pairs cosine top-k: ``n_tables`` independent LSH
+    tables (union of candidates), exact cosine within buckets, top-k per
+    vector.  Output: (query_id, neighbor_id, cos_sim, rank).
+
+    ``n_planes`` defaults to ``log2(n / target_bucket_size)`` — the recall/
+    cost tradeoff scales with corpus size: more planes = smaller buckets =
+    cheaper refinement but lower per-table recall (compensated by tables).
+    """
+    if n_planes is None:
+        import math
+
+        n = corpus.count()
+        n_planes = max(2, int(math.log2(max(n / target_bucket_size, 4))))
+    dim = len(corpus.select(vec_col).first()[0])
+    u = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_unit").alias("v")
+    )
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        tables.append(
+            u.select(
+                "id", "v",
+                F.lit(t).alias("tbl"),
+                signature_expr(F.col("v"), planes).alias("sig"),
+            )
+        )
+    sigs = tables[0]
+    for t in tables[1:]:
+        sigs = sigs.unionByName(t)
+    cand = (
+        sigs.alias("l")
+        .join(sigs.alias("r"), ["tbl", "sig"])
+        .where(F.col("l.id") != F.col("r.id"))
+        .select(
+            F.col("l.id").alias("query_id"),
+            F.col("r.id").alias("neighbor_id"),
+            F.round(_dot("l.v", "r.v"), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,89 @@
+"""Text analysis operators — language-ID, quality, token counts, fingerprints.
+
+All pure Catalyst column expressions (string/regex built-ins, JVM-side,
+whole-stage codegen): no UDFs anywhere, so the plans scale linearly and the
+DuckDB oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small fixed marker sets: deterministic n-gram/stopword heuristic language ID
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "una"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _norm(text: Column) -> Column:
+    """lower + collapse whitespace — the canonical form every operator keys on."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("int")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: word pieces + digits + punctuation as separate
+    tokens (a BPE-style regex proxy for LLM token budgeting)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    ).cast("int")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint of the normalized text (md5 — same
+    bytes-in/bytes-out in Spark and DuckDB, so oracle-checkable)."""
+    return F.md5(_norm(text))
+
+
+def _count_matches(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-stopword language heuristic: argmax of per-language marker hit
+    counts, ties broken by language-code order (deterministic)."""
+    scored = [(_count_matches(text, ws), code) for code, ws in sorted(LANG_MARKERS.items())]
+    best = scored[0]
+    expr = F.lit(best[1])
+    best_n = best[0]
+    for n, code in scored[1:]:
+        expr = F.when(n > best_n, F.lit(code)).otherwise(expr)
+        best_n = F.greatest(n, best_n)
+    return F.when(F.coalesce(F.length(F.trim(text)), F.lit(0)) == 0, F.lit("und")).otherwise(expr)
+
+
+def quality_score(text: Column) -> Column:
+    """Document quality in [0, 1]: length saturation, stopword presence,
+    low punctuation density, alpha density.  The exact formula is arbitrary
+    but FIXED — the oracle recomputes it verbatim; rounded to 4 dp so both
+    engines hash identically."""
+    n_chars = F.length(text)
+    toks = token_count(text)
+    stop = _count_matches(text, STOPWORDS)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    len_score = F.least(F.lit(1.0), n_chars.cast("double") / F.lit(500.0))
+    stop_frac = F.when(toks > 0, stop.cast("double") / toks.cast("double")).otherwise(F.lit(0.0))
+    punct_frac = F.when(n_chars > 0, punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_chars > 0, alpha.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.35) * len_score
+        + F.lit(0.25) * F.least(F.lit(1.0), stop_frac * 4)
+        + F.lit(0.20) * (F.lit(1.0) - F.least(F.lit(1.0), punct_frac * 5))
+        + F.lit(0.20) * alpha_frac
+    )
+    return F.round(score, 4)

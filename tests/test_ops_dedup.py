@@ -1,0 +1,114 @@
+"""Pytest oracles for the non-SQL-expressible dedup/similarity ops:
+MinHash-LSH vs exact Jaccard, SimHash near-dup property, LSH-ANN recall
+vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from singer_tap_spark.ops.dedup_text import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from singer_tap_spark.ops.similarity import brute_force_topk, lsh_ann_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _planted(docs):
+    """Corpus with exact-duplicate texts planted under new ids."""
+    dup = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(dup)
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = exact_dedup(_planted(docs))
+    dups = out.where("n_dups > 1")
+    assert dups.count() == 50
+    assert dups.where("canonical_id >= 100000").count() == 0  # min id canonical
+
+
+def test_minhash_finds_planted_dups(spark, docs):
+    """Every planted exact dup (jaccard=1.0) must surface as an LSH candidate;
+    verified candidates must match the exact-Jaccard join on the same pairs."""
+    corpus = _planted(docs)
+    cand = minhash_lsh_candidates(corpus, verify_threshold=0.5)
+    got_pairs = {(r["a"], r["b"]) for r in cand.collect()}
+    planted = {(i, i + 100000) for i in range(50)}
+    assert planted <= got_pairs
+    # est_jaccard for identical docs is exactly 1.0
+    perfect = cand.where((F.col("b") - F.col("a")) == 100000)
+    assert perfect.where(F.col("est_jaccard") < 1.0).count() == 0
+    assert perfect.where(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_minhash_estimate_tracks_exact(spark, docs):
+    """On organic near-pairs, |est - exact| stays within MinHash error
+    (~1/sqrt(K) + slack) for K=64."""
+    corpus = docs.where(F.col("doc_id") < 120)
+    cand = minhash_lsh_candidates(corpus, num_hashes=64, verify_threshold=0.3)
+    bad = cand.where(F.abs(F.col("est_jaccard") - F.col("jaccard")) > 0.35)
+    assert bad.count() == 0, bad.collect()[:5]
+
+
+def test_simhash_identical_docs_equal_hash(spark, docs):
+    out = simhash(_planted(docs))
+    joined = (
+        out.alias("l")
+        .join(out.alias("r"), F.col("l.id") + 100000 == F.col("r.id"))
+        .where(F.col("l.simhash") != F.col("r.simhash"))
+    )
+    assert joined.count() == 0
+
+
+def test_simhash_deterministic(spark, docs):
+    a = simhash(docs).orderBy("id").collect()
+    b = simhash(docs.repartition(7)).orderBy("id").collect()
+    assert a == b
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, emb):
+    """LSH-ANN top-5 must recover a decent fraction of the true top-5
+    (recall@5 >= 0.4 with 4 tables x 8 planes on this corpus — approximate
+    by design; brute force is the baseline/verifier)."""
+    corpus = emb.where(F.col("vec_id") < 150)
+    truth = brute_force_topk(corpus, corpus, k=5)
+    approx = lsh_ann_topk(corpus, k=5)
+    hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
+    total = truth.count()
+    assert total > 0
+    assert hits / total >= 0.4, f"recall@5 = {hits/total:.2f}"
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark, emb):
+    q = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, q, k=3)
+    assert out.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
+    # rank 1 has max cos_sim per query
+    import pandas as pd
+
+    pdf = out.toPandas()
+    for _, g in pdf.groupby("query_id"):
+        assert g.sort_values("rank")["cos_sim"].is_monotonic_decreasing
+
+
+def test_ngram_jaccard_symmetric_bounds(spark, docs):
+    pairs = ngram_jaccard_pairs(docs.where(F.col("doc_id") < 80), threshold=0.2)
+    bad = pairs.where((F.col("jaccard") < 0.2) | (F.col("jaccard") > 1.0))
+    assert bad.count() == 0
+    assert pairs.where(F.col("a") >= F.col("b")).count() == 0  # ordered pairs
