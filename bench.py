@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the end-to-end
+CDC replay throughput on a deterministic synthetic change log sized to the
+scale factor (the BASELINE.json headline metric: change-events/sec applied).
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "cdc_events_per_sec": ..., "sink_path": "parquet-cow"}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+
+    from singer_tap_spark import CDCPipeline, PipelineConfig, get_spark
+    from singer_tap_spark.changelog import generate_changelog, write_changelog
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    # --- end-to-end CDC replay (the headline): events scaled to sf ---------
+    n_events = max(100_000, int(sf * 20_000_000))
+    base = "/tmp/stsp_bench"
+    shutil.rmtree(base, ignore_errors=True)
+    log = generate_changelog(
+        spark, n_events, update_frac=0.3, delete_frac=0.05,
+        dup_frac=0.02, hot_conv_frac=0.1, n_shards=8,
+    )
+    write_changelog(log, f"{base}/log", n_files_per_shard=max(4, cpus // 4))
+    cfg = PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lineage.json",
+        n_buckets=32,
+    )
+    pipe = CDCPipeline(spark, cfg)
+    t0 = time.monotonic()
+    pipe.replay()
+    replay_s = time.monotonic() - t0
+    queries["cdc_replay"] = round(replay_s, 3)
+    events_per_sec = round(n_events / replay_s, 1)
+
+    # --- operator queries at the sf dir -------------------------------------
+    Q = entry_mod.queries()
+    for name in [
+        "lww_latest_per_key",
+        "merge_final_state",
+        "dedup_exact_replay",
+        "type_normalization",
+        "docs_quality_score",
+        "docs_lang_id",
+        "docs_fingerprint",
+        "docs_exact_dedup",
+        "docs_ngram_jaccard",
+        "docs_minhash_lsh",
+        "docs_simhash",
+        "emb_cosine_topk",
+        "emb_lsh_ann",
+    ]:
+        timed(name, lambda n=name: Q[n](spark, sf_dir).count())
+
+    shutil.rmtree(base, ignore_errors=True)
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cdc_events": n_events,
+                "cdc_events_per_sec": events_per_sec,
+                "cpus": cpus,
+                "sink_path": "parquet-cow (no Iceberg jar in sandbox)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,5 +24,7 @@ from singer_tap_spark.dedup import lww_latest, lww_latest_window  # noqa: F401
 from singer_tap_spark.lake import LakeTable, ParquetLakeTable  # noqa: F401
 from singer_tap_spark.lineage import Lineage, StaleCheckpointError  # noqa: F401
 from singer_tap_spark.pipeline import CDCPipeline, PipelineConfig  # noqa: F401
+from singer_tap_spark.catalog import Catalog, Stream, discover  # noqa: F401
+from singer_tap_spark.sync import SyncLayout, bootstrap_from_snapshot, sync_all  # noqa: F401
 
 __version__ = "0.1.0"

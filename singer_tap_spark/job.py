@@ -1,0 +1,174 @@
+"""spark-submit entrypoint — the sync/discover CLI (singer-tap main analogue).
+
+Usage (cluster):
+    spark-submit --py-files singer_tap_spark.zip -m singer_tap_spark.job \\
+        sync --changelog s3://…/log --target s3://…/table \\
+             --lineage s3://…/lineage.json --checkpoint s3://…/ckpt --streaming
+
+    python -m singer_tap_spark.job discover --root /data/lake --out catalog.json
+    python -m singer_tap_spark.job bench-replay --events 2000000 --cpus 8
+
+The reference's mode flags (cmd/singer-tap/main.go:57-95): ``--discover`` ->
+the ``discover`` subcommand; sync default mode -> ``sync``; ``bench-replay``
+generates a deterministic synthetic change log and measures end-to-end
+events/sec (the BASELINE.json headline metric) at a chosen parallelism —
+used by bench/scaling.py for the N-vs-4N evidence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def _sync(args) -> None:
+    from singer_tap_spark import CDCPipeline, PipelineConfig, get_spark
+
+    spark = get_spark("singer-tap-spark-sync")
+    cfg = PipelineConfig(
+        changelog_path=args.changelog,
+        target_path=args.target,
+        lineage_path=args.lineage,
+        checkpoint_dir=args.checkpoint,
+        replication_method="FULL_TABLE" if args.full_table else "INCREMENTAL",
+        n_buckets=args.buckets,
+        selected_columns=args.columns.split(",") if args.columns else None,
+    )
+    p = CDCPipeline(spark, cfg)
+    m = p.run_streaming(available_now=not args.continuous) if args.streaming else p.replay(
+        n_batches=args.batches
+    )
+    print(m.to_json())
+
+
+def _discover(args) -> None:
+    from singer_tap_spark import get_spark
+    from singer_tap_spark.catalog import discover
+
+    spark = get_spark("singer-tap-spark-discover")
+    keys = json.loads(args.keys) if args.keys else {}
+    cat = discover(spark, args.root, key_properties=keys)
+    cat.save(args.out)
+    print(json.dumps({"streams": [s.name for s in cat.streams], "out": args.out}))
+
+
+def _bench_replay(args) -> None:
+    import os
+
+    if args.cpus:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    from singer_tap_spark import CDCPipeline, PipelineConfig, get_spark
+    from singer_tap_spark.changelog import generate_changelog, write_changelog
+
+    spark = get_spark(f"bench-replay-{args.cpus or 'env'}")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = args.workdir
+    shutil.rmtree(base, ignore_errors=True)
+    log_path = f"{base}/log"
+    gen_t0 = time.monotonic()
+    df = generate_changelog(
+        spark,
+        args.events,
+        seed=args.seed,
+        update_frac=0.3,
+        delete_frac=0.05,
+        dup_frac=0.02,
+        hot_conv_frac=0.1,
+        n_shards=args.shards,
+    )
+    write_changelog(df, log_path, n_files_per_shard=args.files_per_shard)
+    gen_s = time.monotonic() - gen_t0
+
+    # several full replays in one JVM: rep 1 warms the JIT for the exact
+    # plan; best-of captures uncontended capability on a noisy host
+    runs = []
+    rows = None
+    for rep in range(max(1, args.reps)):
+        for sub in ("tgt", "lineage.json", "ckpt"):
+            path = f"{base}/{sub}"
+            if os.path.isfile(path):
+                os.remove(path)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+        cfg = PipelineConfig(
+            changelog_path=log_path,
+            target_path=f"{base}/tgt",
+            lineage_path=f"{base}/lineage.json",
+            checkpoint_dir=f"{base}/ckpt",
+            n_buckets=args.buckets,
+        )
+        p = CDCPipeline(spark, cfg)
+        t0 = time.monotonic()
+        m = p.run_streaming(available_now=True) if args.streaming else p.replay(
+            n_batches=args.batches
+        )
+        apply_s = time.monotonic() - t0
+        r = p.lake.read().count()
+        assert rows is None or rows == r, "final state diverged across reps"
+        rows = r
+        runs.append(
+            {"apply_seconds": round(apply_s, 2),
+             "events_per_sec": round(m.total_events / apply_s, 1),
+             "events": m.total_events}
+        )
+    best = min(runs, key=lambda r: r["apply_seconds"])
+    out = {
+        "events": best["events"],
+        "gen_seconds": round(gen_s, 2),
+        "apply_seconds": best["apply_seconds"],
+        "events_per_sec": best["events_per_sec"],
+        "final_rows": rows,
+        "cpus": args.cpus,
+        "runs": runs,
+    }
+    if not args.keep:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps(out))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="singer-tap-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("sync", help="apply the change log to the lake table")
+    s.add_argument("--changelog", required=True)
+    s.add_argument("--target", required=True)
+    s.add_argument("--lineage", required=True)
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--streaming", action="store_true")
+    s.add_argument("--continuous", action="store_true")
+    s.add_argument("--full-table", action="store_true")
+    s.add_argument("--batches", type=int, default=1)
+    s.add_argument("--buckets", type=int, default=16)
+    s.add_argument("--columns", default=None, help="comma-separated payload selection")
+    s.set_defaults(fn=_sync)
+
+    d = sub.add_parser("discover", help="emit a catalog for a lake namespace")
+    d.add_argument("--root", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--keys", default=None, help='JSON: {"table": ["pk", ...]}')
+    d.set_defaults(fn=_discover)
+
+    b = sub.add_parser("bench-replay", help="synthetic end-to-end throughput run")
+    b.add_argument("--events", type=int, default=1_000_000)
+    b.add_argument("--cpus", type=int, default=None)
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--batches", type=int, default=1)
+    b.add_argument("--files-per-shard", type=int, default=8)
+    b.add_argument("--streaming", action="store_true")
+    b.add_argument("--reps", type=int, default=1)
+    b.add_argument("--workdir", default="/tmp/singer_tap_spark_bench")
+    b.add_argument("--keep", action="store_true")
+    b.set_defaults(fn=_bench_replay)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

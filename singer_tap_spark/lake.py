@@ -134,14 +134,14 @@ class ParquetLakeTable(LakeTable):
     def merge(self, batch: DataFrame, batch_id: int = 0) -> MergeStats:
         """Copy-on-write keyed merge of one (already decoded) change batch.
 
-        Steps (each a single declarative plan — Catalyst prunes partitions
+        One declarative plan, one key-shuffle (Catalyst prunes partitions
         and columns):
-          1. in-batch LWW dedup (one surviving event per key);
-          2. read ONLY the target buckets the batch touches;
-          3. union current-state rows with batch events, LWW again with the
-             stored ``_seq`` as the sequence guard;
-          4. drop keys whose winner is a DELETE;
-          5. dynamic-partition-overwrite exactly the affected buckets.
+          1. read ONLY the target buckets the batch touches;
+          2. union stored rows with raw batch events; a single LWW
+             aggregation is simultaneously the in-batch dedup AND the
+             sequence-guarded merge (stored ``_seq`` is the guard);
+          3. drop keys whose winner is a DELETE;
+          4. write to staging, atomically swap exactly the touched buckets.
         """
         payload_cols = [
             c
@@ -149,11 +149,11 @@ class ParquetLakeTable(LakeTable):
             if c not in (*self.key_cols, "ts", "seq", "op", "shard", "offset",
                           "schema_version")
         ]
-        # 1. one event per key (map-side combinable; skew-proof)
-        src = lww_latest(
-            batch, self.key_cols, ("ts", "seq"),
-            value_cols=[*payload_cols, "ts", "seq", "op"],
-        ).select(
+        # raw batch mapped to the target shape — NO pre-dedup pass: in-batch
+        # LWW and the merge against stored rows collapse into ONE key-shuffle
+        # aggregation below (max_by is partial-aggregatable, so a hot key
+        # still ships <= one row per input partition).
+        src = batch.select(
             *self.key_cols, *payload_cols, "ts",
             F.col("seq").alias(SEQ_COL), F.col("op").alias(OP_COL),
         )
@@ -169,7 +169,7 @@ class ParquetLakeTable(LakeTable):
             )
             src = align(src, T.StructType(new_schema.fields + [
                 T.StructField(OP_COL, T.StringType(), True)]))
-            # 2.+3. prune to affected buckets, union, seq-guarded LWW.
+            # prune the target scan to the buckets this batch touches
             src = src.withColumn(BUCKET_COL, self._bucket_expr())
             affected = [
                 r[0] for r in src.select(BUCKET_COL).distinct().collect()
@@ -177,6 +177,8 @@ class ParquetLakeTable(LakeTable):
             cur = cur.withColumn(BUCKET_COL, self._bucket_expr()).where(
                 F.col(BUCKET_COL).isin(affected)
             )
+            # one shuffle: stored row (its _seq is the guard) vs every batch
+            # event, latest (ts, _seq) wins — §2.3 #3 sequence semantics
             merged = lww_latest(
                 cur.unionByName(src),
                 self.key_cols,
@@ -184,7 +186,11 @@ class ParquetLakeTable(LakeTable):
             )
         else:
             new_schema, changes = src_schema_nometa, ["create table"]
-            merged = src.withColumn(BUCKET_COL, self._bucket_expr())
+            merged = lww_latest(
+                src.withColumn(BUCKET_COL, self._bucket_expr()),
+                self.key_cols,
+                ("ts", SEQ_COL),
+            )
             affected = None  # fresh table: every bucket written is new
 
         # 4. apply deletes; 5. write the new bucket files to a STAGING dir,
@@ -192,12 +198,18 @@ class ParquetLakeTable(LakeTable):
         # path (self-overwrite hazard), and crash-mid-swap just replays the
         # batch, which the LWW guard absorbs (idempotent commit).
         final = merged.where(F.col(OP_COL) != "DELETE").drop(OP_COL)
-        final = final.repartition(max(1, self.n_buckets // 4), BUCKET_COL)
+        # write parallelism: one task per bucket up to the cluster's core
+        # count — never fewer tasks than cores just because buckets are few
+        n_write = min(self.n_buckets, max(1, self.spark.sparkContext.defaultParallelism))
+        final = final.repartition(n_write, BUCKET_COL)
+        # clear any staging left by a crashed earlier commit (the batch it
+        # belonged to replays anyway — idempotent)
+        for e in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if e.startswith("_staging-"):
+                shutil.rmtree(f"{self.path}/{e}", ignore_errors=True)
         staging = f"{self.path}/_staging-{batch_id}"
         final.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
 
-        # footer-metadata-only count of the new state (no data scan)
-        rows_after = self.spark.read.parquet(staging).count()
         present = {
             int(e.split("=", 1)[1])
             for e in os.listdir(staging)
@@ -212,6 +224,18 @@ class ParquetLakeTable(LakeTable):
             if os.path.exists(src_dir):
                 os.rename(src_dir, dst)
         shutil.rmtree(staging, ignore_errors=True)
+
+        # footer-metadata-only count of the whole table after the swap —
+        # pyarrow on the driver, no Spark job (row counts live in footers)
+        import pyarrow.dataset as pds
+
+        # ignore_prefixes: pyarrow's default ['.', '_'] would skip the
+        # `_bucket=N` partition dirs (Spark keeps underscore-dirs that
+        # contain '='); only dotfiles are truly hidden here
+        rows_after = pds.dataset(
+            self._data, format="parquet", partitioning="hive",
+            ignore_prefixes=["."],
+        ).count_rows()
 
         self._save_schema(new_schema)
         commit_id = f"parquet-cow-{batch_id}"

@@ -1,7 +1,7 @@
 """The CDC pipeline — sync mode, end to end (SURVEY §3 EP2's Spark shape).
 
-    change-log tail -> projection -> exact-dup drop -> LWW dedup
-        -> bucket-pruned MERGE -> lineage checkpoint
+    change-log tail -> projection -> single-shuffle LWW + seq-guarded MERGE
+        (bucket-pruned) -> lineage checkpoint
 
 Batch replay (:meth:`CDCPipeline.replay`) is the bounded peek-then-drain
 session (operator O7 — the reference converts the infinite VStream into
@@ -13,15 +13,14 @@ Streaming with ``Trigger.AvailableNow`` + ``foreachBatch``.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from singer_tap_spark.dedup import drop_exact_duplicates
 from singer_tap_spark.lake import ParquetLakeTable
-from singer_tap_spark.lineage import Lineage, ShardCursor
+from singer_tap_spark.lineage import Lineage
 from singer_tap_spark.metrics import BatchMetrics, RunMetrics
 
 FULL_TABLE = "FULL_TABLE"
@@ -62,17 +61,25 @@ class CDCPipeline:
         self.metrics = RunMetrics()
 
     # -- source --------------------------------------------------------------
-    def _log_schema(self):
-        """Unified change-log schema across segments written before/after a
-        schema-evolution event (add-column / type-widen, FIXTURES.md §7.7).
+    def _log_metadata(self) -> tuple:
+        """One driver-side footer pass over the change log returning
+        (unified schema, {shard: min retained offset}).
 
-        Spark's parquet ``mergeSchema`` refuses int->long widening, but the
-        4.x reader happily reads narrow files under a wider *requested*
-        schema — so we fold the distinct footer schemas with our own
-        :func:`evolve_schema` and pass the result explicitly.  This is a
-        driver-side metadata pass over footers; the Iceberg/production path
-        gets the same answer from table metadata in O(1).
+        Schema: Spark's parquet ``mergeSchema`` refuses int->long widening,
+        but the 4.x reader happily reads narrow files under a wider
+        *requested* schema — so we fold the distinct footer schemas with our
+        own :func:`evolve_schema` and pass the result explicitly (handles
+        segments written before/after an evolution event, FIXTURES.md §7.7).
+
+        Min offsets: the staleness check (O9) needs the oldest retained
+        offset per shard — that lives in the row-group statistics of the
+        same footers, so no Spark job ever scans the log for it.
+
+        The Iceberg/production path gets both from table metadata in O(1);
+        here it is O(files) driver metadata reads.
         """
+        import re
+
         import pyarrow.dataset as pds
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -81,18 +88,27 @@ class CDCPipeline:
         d = pds.dataset(self.cfg.changelog_path, format="parquet", partitioning="hive")
         folded = None
         seen: set[str] = set()
+        mins: dict[str, int] = {}
         for frag in d.get_fragments():
             key = str(frag.physical_schema)
-            if key in seen:
-                continue
-            seen.add(key)
-            s = from_arrow_schema(frag.physical_schema)
-            folded = s if folded is None else evolve_schema(folded, s)[0]
+            if key not in seen:
+                seen.add(key)
+                s = from_arrow_schema(frag.physical_schema)
+                folded = s if folded is None else evolve_schema(folded, s)[0]
+            m = re.search(r"shard=([^/]+)/", frag.path)
+            shard = m.group(1) if m else "-"
+            for rg in frag.row_groups:
+                st = (rg.statistics or {}).get("offset")
+                if st and st.get("min") is not None:
+                    mins[shard] = min(mins.get(shard, st["min"]), st["min"])
         if folded is None:
             raise FileNotFoundError(f"empty change log: {self.cfg.changelog_path}")
         if "shard" not in folded.names:  # hive partition column lives in dir names
             folded = folded.add("shard", "string")
-        return folded
+        return folded, mins
+
+    def _log_schema(self):
+        return self._log_metadata()[0]
 
     def _read_changelog(self) -> DataFrame:
         df = self.spark.read.schema(self._log_schema()).parquet(
@@ -113,21 +129,41 @@ class CDCPipeline:
                 or c in self.cfg.selected_columns]
         return df.select(*keep)
 
-    def _resume_filter(self, df: DataFrame, lineage: Lineage) -> DataFrame:
+    def _resume_filter(
+        self, df: DataFrame, lineage: Lineage, log_shards: list[str] | None = None
+    ) -> DataFrame:
         """Per-shard ``offset > saved`` resume — the GTID-cursor restart
-        (planetscale_edge_database.go:175-186).  Emitted as an OR-of-ANDs
-        predicate so it prunes shard partitions AND pushes to parquet."""
+        (planetscale_edge_database.go:175-186).
+
+        The precise OR-of-(shard = s AND offset > o) predicate mixes the
+        partition column with a data column, so parquet cannot push it down
+        by itself (it evaluates post-scan).  We therefore close the shard
+        set against the log's actual partitions (a partition-listing query,
+        no data scan) and, when every log shard has a cursor, AND in a
+        pushable coarse bound ``offset > min(cursors)`` — on resume-near-
+        head (the common case) parquet row-group min/max stats then skip
+        nearly the whole log instead of re-scanning 10^10 rows."""
         shards = lineage.streams.get(self.cfg.stream_name, {})
+        cursors = {s: c.offset for s, c in shards.items() if c.offset >= 0}
+        if not cursors:
+            return df
+        if log_shards is None:
+            log_shards = [r[0] for r in df.select("shard").distinct().collect()]
+        unknown = [s for s in log_shards if s not in cursors]
         preds = [
-            (F.col("shard") == s) & (F.col("offset") > c.offset)
-            for s, c in shards.items()
-            if c.offset >= 0
+            (F.col("shard") == s) & (F.col("offset") > cursors[s])
+            for s in log_shards
+            if s in cursors
         ]
-        known = [s for s, c in shards.items() if c.offset >= 0]
-        unknown = ~F.col("shard").isin(known) if known else F.lit(True)
+        if unknown:  # new shards: everything is new (sync.go:48-58)
+            preds.append(F.col("shard").isin(unknown))
         if not preds:
             return df
-        return df.where(reduce(lambda a, b: a | b, preds) | unknown)
+        precise = reduce(lambda a, b: a | b, preds)
+        if not unknown:
+            gmin = min(cursors[s] for s in log_shards)
+            precise = (F.col("offset") > gmin) & precise  # pushable conjunct
+        return df.where(precise)
 
     @staticmethod
     def pk_resume_filter(df: DataFrame, key_cols: tuple[str, ...], last_pk: dict) -> DataFrame:
@@ -145,42 +181,46 @@ class CDCPipeline:
         a crash in between replays the batch and the (ts, seq) merge guard
         absorbs it."""
         t0 = time.monotonic()
-        batch = drop_exact_duplicates(self._project(batch))
-        batch = batch.persist()
-        try:
-            # one small agg job over the batch: per-shard high-water marks +
-            # event count (the cursor advance, OnCursor analogue)
-            stats = (
-                batch.groupBy("shard")
-                .agg(F.max("offset").alias("mx"), F.count("*").alias("n"))
-                .collect()
-            )
-            n_events = sum(r["n"] for r in stats)
-            if n_events == 0:
-                return BatchMetrics(batch_id, 0, -1, 0, time.monotonic() - t0)
-            ms = self.lake.merge(batch.drop("schema_version"), batch_id)
-            lineage = Lineage.load(self.cfg.lineage_path) or Lineage.empty(
-                self.cfg.stream_name, []
-            )
-            lineage.advance(
-                self.cfg.stream_name,
-                {r["shard"]: r["mx"] for r in stats},
-                batch_id,
-                ms.commit_id,
-            )
-            lineage.save(self.cfg.lineage_path)
-            bm = BatchMetrics(
-                batch_id,
-                n_events,
-                ms.rows_after,
-                ms.affected_buckets,
-                time.monotonic() - t0,
-                ms.schema_changes,
-            )
-            self.metrics.add(bm)
-            return bm
-        finally:
-            batch.unpersist()
+        batch = self._project(batch)
+        # NOTE: no explicit exact-duplicate pass here.  Replayed events tie
+        # on (ts, seq) with byte-identical payloads, so the merge's LWW
+        # max_by collapses them for free — an extra dropDuplicates would be
+        # a full-data shuffle spent removing rows the aggregate already
+        # ignores.  (Streaming additionally runs dropDuplicatesWithinWatermark
+        # upstream to keep *state-bounded* cross-batch dedup.)
+        #
+        # Small agg over (shard, offset) only — Catalyst prunes the scan to
+        # two columns: per-shard high-water marks + received count
+        # (the cursor advance, OnCursor analogue).
+        stats = (
+            batch.groupBy("shard")
+            .agg(F.max("offset").alias("mx"), F.count("*").alias("n"))
+            .collect()
+        )
+        n_events = sum(r["n"] for r in stats)
+        if n_events == 0:
+            return BatchMetrics(batch_id, 0, -1, 0, time.monotonic() - t0)
+        ms = self.lake.merge(batch.drop("schema_version"), batch_id)
+        lineage = Lineage.load(self.cfg.lineage_path) or Lineage.empty(
+            self.cfg.stream_name, []
+        )
+        lineage.advance(
+            self.cfg.stream_name,
+            {r["shard"]: r["mx"] for r in stats},
+            batch_id,
+            ms.commit_id,
+        )
+        lineage.save(self.cfg.lineage_path)
+        bm = BatchMetrics(
+            batch_id,
+            n_events,
+            ms.rows_after,
+            ms.affected_buckets,
+            time.monotonic() - t0,
+            ms.schema_changes,
+        )
+        self.metrics.add(bm)
+        return bm
 
     # -- batch replay (bounded sessions, O7) ----------------------------------
     def replay(self, n_batches: int = 1) -> RunMetrics:
@@ -188,15 +228,15 @@ class CDCPipeline:
         optionally in ``n_batches`` seq-ranged sessions so resume/crash tests
         have boundaries to interrupt at.  FULL_TABLE mode ignores saved
         lineage and rebuilds from offset zero (sync.go:81-83)."""
-        df = self._read_changelog()
+        schema, retained_mins = self._log_metadata()
+        df = self._project(
+            self.spark.read.schema(schema).parquet(self.cfg.changelog_path)
+        )
         lineage = Lineage.load(self.cfg.lineage_path)
         if self.cfg.replication_method == INCREMENTAL and lineage is not None:
-            retained = {
-                r["shard"]: r["mn"]
-                for r in df.groupBy("shard").agg(F.min("offset").alias("mn")).collect()
-            }
-            lineage.check_not_stale(self.cfg.stream_name, retained)
-            df = self._resume_filter(df, lineage)
+            # staleness (O9) + shard set from footer stats — no Spark job
+            lineage.check_not_stale(self.cfg.stream_name, retained_mins)
+            df = self._resume_filter(df, lineage, list(retained_mins))
         if self.cfg.last_pk:
             df = self.pk_resume_filter(df, self.cfg.key_cols, self.cfg.last_pk)
 
