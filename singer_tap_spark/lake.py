@@ -249,6 +249,39 @@ class ParquetLakeTable(LakeTable):
         )
 
 
+    # -- maintenance ---------------------------------------------------------
+    def compact(self) -> int:
+        """Small-file compaction — the Iceberg ``rewrite_data_files``
+        analogue.  Every merge appends one file set per touched bucket, so a
+        long-running incremental table accumulates small files; this
+        rewrites each bucket into one file set (one write task per bucket)
+        via the same staging-swap commit as merge.  Returns file count
+        after.  On 10^10-row tables run it per-bucket on a schedule, exactly
+        like Iceberg compaction jobs."""
+        df = self.read_internal().withColumn(BUCKET_COL, self._bucket_expr())
+        staging = f"{self.path}/_staging-compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            df.repartition(self.n_buckets, BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
+        present = [
+            e for e in os.listdir(staging) if e.startswith(f"{BUCKET_COL}=")
+        ]
+        for e in present:
+            dst = f"{self._data}/{e}"
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(f"{staging}/{e}", dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        return sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(self._data)
+        )
+
+
 class IcebergLakeTable(LakeTable):
     """Real Iceberg ``MERGE INTO`` path for cluster runs.
 
