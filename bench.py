@@ -64,6 +64,21 @@ def main() -> None:
     queries["cdc_replay"] = round(replay_s, 3)
     events_per_sec = round(n_events / replay_s, 1)
 
+    # the same log through the Structured Streaming path (AvailableNow +
+    # watermarked dedup + foreachBatch merge) into a fresh target
+    cfg_s = PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt_s",
+        lineage_path=f"{base}/lineage_s.json",
+        checkpoint_dir=f"{base}/ckpt_s",
+        n_buckets=32,
+    )
+    t0 = time.monotonic()
+    CDCPipeline(spark, cfg_s).run_streaming(available_now=True)
+    stream_s = time.monotonic() - t0
+    queries["cdc_replay_streaming"] = round(stream_s, 3)
+    streaming_events_per_sec = round(n_events / stream_s, 1)
+
     # --- operator queries at the sf dir -------------------------------------
     Q = entry_mod.queries()
     for name in [
@@ -95,6 +110,7 @@ def main() -> None:
                 "sf": sf,
                 "cdc_events": n_events,
                 "cdc_events_per_sec": events_per_sec,
+                "cdc_streaming_events_per_sec": streaming_events_per_sec,
                 "cpus": cpus,
                 "sink_path": "parquet-cow (no Iceberg jar in sandbox)",
             }

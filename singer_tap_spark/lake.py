@@ -198,10 +198,11 @@ class ParquetLakeTable(LakeTable):
         # path (self-overwrite hazard), and crash-mid-swap just replays the
         # batch, which the LWW guard absorbs (idempotent commit).
         final = merged.where(F.col(OP_COL) != "DELETE").drop(OP_COL)
-        # write parallelism: one task per bucket up to the cluster's core
-        # count — never fewer tasks than cores just because buckets are few
-        n_write = min(self.n_buckets, max(1, self.spark.sparkContext.defaultParallelism))
-        final = final.repartition(n_write, BUCKET_COL)
+        # AQE REBALANCE on the bucket: coalesces tiny buckets into shared
+        # write tasks AND splits a hot bucket (one conversation = 50% of a
+        # batch) across several writers at the advisory partition size —
+        # no hand-tuned task count, holds at any scale
+        final = final.hint("rebalance", BUCKET_COL)
         # clear any staging left by a crashed earlier commit (the batch it
         # belonged to replays anyway — idempotent)
         for e in os.listdir(self.path) if os.path.isdir(self.path) else []:

@@ -41,3 +41,30 @@ def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
     got = p.lake.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts").toPandas()
     want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
     assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_stray_staging_dir_cleaned(spark, tmp_path):
+    """A staging dir left by a crashed commit must not break or pollute the
+    next merge (idempotent replay covers the data; the dir is removed)."""
+    import os
+
+    base = str(tmp_path)
+    write_changelog(generate_changelog(spark, 2000), f"{base}/log")
+    cfg = PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lineage.json",
+    )
+    p = CDCPipeline(spark, cfg)
+    p.replay()
+    stray = f"{base}/tgt/_staging-99"
+    os.makedirs(f"{stray}/_bucket=3", exist_ok=True)
+    with open(f"{stray}/_bucket=3/garbage.parquet", "w") as f:
+        f.write("not parquet")
+    # next merge cleans the stray dir and applies normally
+    batch = p._read_changelog().limit(10)
+    p.lake.merge(batch, batch_id=7)
+    assert not os.path.exists(stray)
+    got = p.lake.read().select("conv_id", "turn_idx", "text").toPandas()
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))[["conv_id", "turn_idx", "text"]]
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
