@@ -234,6 +234,24 @@ def q_docs_token_histogram(spark, sf_dir):
     )
 
 
+def q_conversation_export(spark, sf_dir):
+    """Training-data export: per-'conversation' document with STABLE TURN
+    ORDERING (the north-rule per-row invariant), one partial-agg pass.
+    events is the stand-in: user_id = conversation, event_id = turn order."""
+    from singer_tap_spark.export import assemble_conversations
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    out = assemble_conversations(ev)
+    return out.select(
+        "conv_id", F.col("n_turns").cast("long").alias("n_turns"), "doc"
+    )
+
+
 # rows-only (xxhash64-based — DuckDB cannot reproduce; pytest oracles cover):
 
 def q_docs_minhash_lsh(spark, sf_dir):
@@ -274,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "docs_quality_topk": q_docs_quality_topk,
         "docs_token_histogram": q_docs_token_histogram,
+        "conversation_export": q_conversation_export,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -473,6 +492,12 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END // 50) * 50
                    AS bucket, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "conversation_export": """
+            SELECT user_id AS conv_id, count(*) AS n_turns,
+                   string_agg(event_type || ': ' || props, chr(10)
+                              ORDER BY event_id) AS doc
+            FROM events GROUP BY 1
         """,
         # docs_minhash_lsh / docs_simhash / emb_lsh_ann: xxhash64 + seeded-
         # hyperplane based — not reproducible in DuckDB; rows-only here,

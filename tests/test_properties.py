@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels: schema
+evolution algebra and lineage state-machine laws.  No SparkSession needed."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from singer_tap_spark.evolve import SchemaEvolutionError, evolve_schema
+from singer_tap_spark.lineage import Lineage, ShardCursor
+
+_INTS = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_FLOATS = [T.FloatType(), T.DoubleType()]
+_SCALARS = _INTS + _FLOATS + [T.StringType(), T.BooleanType(), T.TimestampType()]
+
+names = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+fields = st.dictionaries(names, st.sampled_from(_SCALARS), min_size=1, max_size=6)
+
+
+def _schema(d: dict) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in sorted(d.items())])
+
+
+@given(fields)
+def test_evolve_idempotent(d):
+    s = _schema(d)
+    out, changes = evolve_schema(s, s)
+    assert out == s and changes == []
+
+
+@given(fields, fields)
+def test_evolve_contains_all_columns_or_raises(a, b):
+    sa, sb = _schema(a), _schema(b)
+    try:
+        out, _ = evolve_schema(sa, sb)
+    except SchemaEvolutionError:
+        return  # incompatible pair — allowed outcome
+    assert set(out.names) == set(sa.names) | set(sb.names)
+    # evolution never narrows: re-evolving with either input is a no-op
+    again, changes_a = evolve_schema(out, sa)
+    assert again == out and changes_a == []
+    again, changes_b = evolve_schema(out, sb)
+    assert again == out and changes_b == []
+
+
+@given(fields, fields, fields)
+@settings(max_examples=50)
+def test_evolve_associative_on_compatible(a, b, c):
+    sa, sb, sc = _schema(a), _schema(b), _schema(c)
+    try:
+        left = evolve_schema(evolve_schema(sa, sb)[0], sc)[0]
+        right = evolve_schema(sa, evolve_schema(sb, sc)[0])[0]
+    except SchemaEvolutionError:
+        return
+    # same column->type mapping regardless of fold order
+    assert {f.name: f.dataType for f in left.fields} == {
+        f.name: f.dataType for f in right.fields
+    }
+
+
+shards = st.dictionaries(
+    st.sampled_from(["s0", "s1", "s2", "s3"]),
+    st.integers(min_value=-1, max_value=10_000),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(shards, shards)
+def test_lineage_merge_prefers_saved(base_sh, saved_sh):
+    base = Lineage({"t": {k: ShardCursor(offset=v) for k, v in base_sh.items()}})
+    saved = Lineage({"t": {k: ShardCursor(offset=v) for k, v in saved_sh.items()}})
+    merged = base.merged_with_saved(saved)
+    for k in set(base_sh) | set(saved_sh):
+        expect = saved_sh.get(k, base_sh.get(k))
+        assert merged.streams["t"][k].offset == expect
+
+
+@given(shards, st.dictionaries(st.sampled_from(["s0", "s1"]),
+                               st.integers(min_value=0, max_value=20_000),
+                               min_size=1, max_size=2))
+def test_lineage_advance_monotone(sh, adv):
+    lin = Lineage({"t": {k: ShardCursor(offset=v) for k, v in sh.items()}})
+    before = {k: c.offset for k, c in lin.streams["t"].items()}
+    lin.advance("t", adv, batch_id=1, snapshot_id="x")
+    for k, c in lin.streams["t"].items():
+        assert c.offset >= before.get(k, -1)  # offsets never move backwards
+        if k in adv:
+            assert c.offset >= adv[k] or c.offset == before.get(k, -1)
+
+
+@given(shards)
+def test_lineage_json_roundtrip(sh):
+    import json
+    import os
+    import tempfile
+
+    lin = Lineage({"t": {k: ShardCursor(offset=v, batch_id=2) for k, v in sh.items()}})
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "s.json")
+        lin.save(p)
+        back = Lineage.load(p)
+        assert {k: c.offset for k, c in back.streams["t"].items()} == sh
+        # wrapped form loads identically (parser.go:20-43 duality)
+        with open(p) as f:
+            doc = json.load(f)
+        with open(p, "w") as f:
+            json.dump({"type": "STATE", "value": doc}, f)
+        wrapped = Lineage.load(p)
+        assert {k: c.offset for k, c in wrapped.streams["t"].items()} == sh
