@@ -45,6 +45,10 @@ class PipelineConfig:
     # payload projection (keys + engine columns always included — O11)
     selected_columns: list[str] | None = None
     last_pk: dict | None = None  # mid-table resume (O8)
+    # change-log encoding: columnar parquet (default) or Singer-style JSON
+    # lines (raw RECORD payloads — the reference's wire format, O20)
+    changelog_format: str = "parquet"  # "parquet" | "jsonl"
+    jsonl_schema: object | None = None  # StructType; default CHANGE_SCHEMA
 
 
 class CDCPipeline:
@@ -110,7 +114,47 @@ class CDCPipeline:
     def _log_schema(self):
         return self._log_metadata()[0]
 
+    def _read_jsonl(self) -> DataFrame:
+        """Singer-wire-format change log: JSON lines decoded JVM-side (O20).
+
+        Accepts BOTH shapes on the same stream, mirroring parseInput
+        (http-tap/main.go:98-126): full Singer envelopes
+        ``{"type":"RECORD","stream":…,"record":{…}}`` (SCHEMA/STATE lines
+        skipped — schema is explicit config here, state is ours) and bare
+        change-event objects.  Schema evolution = pass a wider
+        ``jsonl_schema``; missing fields null-fill."""
+        raw = self.spark.read.text(self.cfg.changelog_path)
+        return self._decode_jsonl(raw)
+
+    def _decode_jsonl(self, raw: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from singer_tap_spark.changelog import CHANGE_SCHEMA
+
+        schema = self.cfg.jsonl_schema or CHANGE_SCHEMA
+        envelope = T.StructType(
+            [
+                T.StructField("type", T.StringType()),
+                T.StructField("stream", T.StringType()),
+                T.StructField("record", schema),
+            ]
+        )
+        parsed = raw.select(
+            F.from_json("value", envelope).alias("e"),
+            F.from_json("value", schema).alias("b"),
+        )
+        rows = parsed.where(
+            F.col("e.type").isNull() | (F.col("e.type") == "RECORD")
+        ).select(
+            F.when(F.col("e.type") == "RECORD", F.col("e.record"))
+            .otherwise(F.col("b"))
+            .alias("r")
+        )
+        return rows.select("r.*").where(F.col("seq").isNotNull())
+
     def _read_changelog(self) -> DataFrame:
+        if self.cfg.changelog_format == "jsonl":
+            return self._project(self._read_jsonl())
         df = self.spark.read.schema(self._log_schema()).parquet(
             self.cfg.changelog_path
         )
@@ -228,13 +272,24 @@ class CDCPipeline:
         optionally in ``n_batches`` seq-ranged sessions so resume/crash tests
         have boundaries to interrupt at.  FULL_TABLE mode ignores saved
         lineage and rebuilds from offset zero (sync.go:81-83)."""
-        schema, retained_mins = self._log_metadata()
-        df = self._project(
-            self.spark.read.schema(schema).parquet(self.cfg.changelog_path)
-        )
+        if self.cfg.changelog_format == "jsonl":
+            df = self._project(self._read_jsonl())
+            retained_mins = None  # no footers: computed below only if needed
+        else:
+            schema, retained_mins = self._log_metadata()
+            df = self._project(
+                self.spark.read.schema(schema).parquet(self.cfg.changelog_path)
+            )
         lineage = Lineage.load(self.cfg.lineage_path)
         if self.cfg.replication_method == INCREMENTAL and lineage is not None:
-            # staleness (O9) + shard set from footer stats — no Spark job
+            if retained_mins is None:  # jsonl fallback: one pruned agg job
+                retained_mins = {
+                    r["shard"]: r["mn"]
+                    for r in df.groupBy("shard")
+                    .agg(F.min("offset").alias("mn"))
+                    .collect()
+                }
+            # staleness (O9) + shard set from metadata — no data re-scan
             lineage.check_not_stale(self.cfg.stream_name, retained_mins)
             df = self._resume_filter(df, lineage, list(retained_mins))
         if self.cfg.last_pk:
@@ -276,11 +331,19 @@ class CDCPipeline:
         # schema fixed per session — a mid-stream DDL needs a session restart,
         # exactly the reference's re-discover-then-re-emit-SCHEMA model
         # (sync.go:63-66); the next session's _log_schema() picks it up.
-        src = (
-            self.spark.readStream.schema(self._log_schema())
-            .option("maxFilesPerTrigger", 64)  # pacing (batch-size analogue)
-            .parquet(self.cfg.changelog_path)
-        )
+        if self.cfg.changelog_format == "jsonl":
+            raw = (
+                self.spark.readStream.format("text")
+                .option("maxFilesPerTrigger", 64)
+                .load(self.cfg.changelog_path)
+            )
+            src = self._decode_jsonl(raw)
+        else:
+            src = (
+                self.spark.readStream.schema(self._log_schema())
+                .option("maxFilesPerTrigger", 64)  # pacing (batch-size analogue)
+                .parquet(self.cfg.changelog_path)
+            )
         src = src.withWatermark("ts", self.cfg.watermark_delay)
         src = src.dropDuplicatesWithinWatermark(["shard", "offset", "seq"])
 

@@ -53,3 +53,80 @@ def test_singer_roundtrip(spark, tmp_path):
 
     lin = Lineage.load(f"{base}/state/{state_files[0]}")
     assert lin.streams["transcript_changes"]["shard-0"].offset == 799
+
+
+def test_jsonl_changelog_replay_matches_parquet(spark, tmp_path):
+    """Full wire-format loop: engine events -> Singer RECORD lines
+    (singer_sink) -> jsonl pipeline replay == parquet pipeline replay."""
+    import singer_tap_spark as sts
+    from singer_tap_spark.changelog import generate_changelog, write_changelog
+    from singer_tap_spark.singer_sink import write_records
+    from tests.conftest import assert_frames_equal
+
+    base = str(tmp_path)
+    events = generate_changelog(spark, 5000, update_frac=0.4, delete_frac=0.1)
+    write_changelog(events, f"{base}/plog")
+    stream = Stream(name="transcript_changes", schema=CHANGE_SCHEMA,
+                    key_properties=["conv_id", "turn_idx"], selected=True)
+    write_records(events, f"{base}/tap", stream)
+
+    p_parq = sts.CDCPipeline(spark, sts.PipelineConfig(
+        changelog_path=f"{base}/plog", target_path=f"{base}/t1",
+        lineage_path=f"{base}/l1.json"))
+    p_parq.replay()
+
+    p_json = sts.CDCPipeline(spark, sts.PipelineConfig(
+        changelog_path=f"{base}/tap/records", target_path=f"{base}/t2",
+        lineage_path=f"{base}/l2.json", changelog_format="jsonl"))
+    m = p_json.replay()
+    assert m.total_events == 5000
+
+    a = p_parq.lake.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts").toPandas()
+    b = p_json.lake.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts").toPandas()
+    assert_frames_equal(b, a, ["conv_id", "turn_idx"])
+
+
+def test_jsonl_streaming_and_resume(spark, tmp_path):
+    """jsonl path under Structured Streaming + incremental batch resume."""
+    import singer_tap_spark as sts
+    from singer_tap_spark.changelog import generate_changelog
+    from singer_tap_spark.singer_sink import write_records
+    from tests.conftest import assert_frames_equal, duck
+
+    base = str(tmp_path)
+    events = generate_changelog(spark, 6000, update_frac=0.3, delete_frac=0.1)
+    stream = Stream(name="t", schema=CHANGE_SCHEMA,
+                    key_properties=["conv_id", "turn_idx"], selected=True)
+    write_records(events.where("seq < 3000"), f"{base}/tap", stream)
+    cfg = sts.PipelineConfig(
+        changelog_path=f"{base}/tap/records", target_path=f"{base}/tgt",
+        lineage_path=f"{base}/l.json", checkpoint_dir=f"{base}/ck",
+        changelog_format="jsonl")
+    sts.CDCPipeline(spark, cfg).run_streaming(available_now=True)
+
+    # more RECORD lines land; batch replay resumes from lineage
+    record = F.to_json(F.struct(
+        F.lit("RECORD").alias("type"), F.lit("t").alias("stream"),
+        F.struct(*[F.col(c) for c in events.columns]).alias("record")))
+    events.where("seq >= 3000").select(record.alias("value")) \
+        .write.mode("append").text(f"{base}/tap/records")
+    p2 = sts.CDCPipeline(spark, cfg)
+    m = p2.replay()
+    assert 0 < m.total_events <= 3000
+
+    got = p2.lake.read().select("conv_id", "turn_idx", "text").toPandas()
+    want = duck(f"""
+        WITH src AS (SELECT j.* FROM (
+          SELECT from_json(json_extract(line, '$.record'),
+            '{{"shard":"VARCHAR","offset":"BIGINT","seq":"BIGINT","op":"VARCHAR",
+              "ts":"TIMESTAMP","conv_id":"VARCHAR","turn_idx":"INTEGER",
+              "role":"VARCHAR","text":"VARCHAR","tool":"VARCHAR",
+              "schema_version":"INTEGER"}}') AS j
+          FROM read_csv('{base}/tap/records/*.txt', columns={{'line':'VARCHAR'}},
+                        delim=chr(1), header=false, quote='')
+        )),
+        ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) rn FROM src)
+        SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+    """)
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
