@@ -156,7 +156,7 @@ def q_pk_resume_filter(spark, sf_dir):
 
 def q_docs_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
 def q_docs_fingerprint(spark, sf_dir):
@@ -188,7 +188,7 @@ def q_docs_ngram_jaccard(spark, sf_dir):
 def q_emb_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, queries, k=5).withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_emb_near_dup_pairs(spark, sf_dir):
@@ -219,7 +219,7 @@ def q_docs_quality_topk(spark, sf_dir):
     scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
     w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 20)
     )
 
