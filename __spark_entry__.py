@@ -234,6 +234,21 @@ def q_docs_token_histogram(spark, sf_dir):
     )
 
 
+def q_corpus_curate(spark, sf_dir):
+    """Composed curation pipeline: annotate -> quality/length gate ->
+    exact dedup on the doubled corpus (near-dup stage is xxhash-based,
+    exercised in the rows-only docs_minhash_lsh entry)."""
+    from singer_tap_spark.ops.curate import curate
+
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+                 "source", "n_chars")
+    )
+    out = curate(doubled, min_quality=0.3, min_tokens=5)
+    return out.select("doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
+
+
 def q_conversation_export(spark, sf_dir):
     """Training-data export: per-'conversation' document with STABLE TURN
     ORDERING (the north-rule per-row invariant), one partial-agg pass.
@@ -293,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_topk": q_docs_quality_topk,
         "docs_token_histogram": q_docs_token_histogram,
         "conversation_export": q_conversation_export,
+        "corpus_curate": q_corpus_curate,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -498,6 +514,47 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type || ': ' || props, chr(10)
                               ORDER BY event_id) AS doc
             FROM events GROUP BY 1
+        """,
+        "corpus_curate": f"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents
+            ), ann AS (
+              SELECT doc_id, text,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b')) AS stop,
+                length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                length(text) AS n_chars,
+                len(regexp_extract_all(lower(text), '\\b(der|die|und|das|nicht|ist)\\b')) AS n_de,
+                len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it)\\b'))  AS n_en,
+                len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los|una)\\b'))    AS n_es,
+                len(regexp_extract_all(lower(text), '\\b(le|la|les|des|une|est|dans)\\b')) AS n_fr,
+                md5({_NORM_SQL}) AS fingerprint
+              FROM doubled
+            ), scored AS (
+              SELECT doc_id, n_tokens, fingerprint,
+                round(
+                  0.35 * least(1.0, n_chars / 500.0)
+                + 0.25 * least(1.0, (CASE WHEN n_tokens > 0 THEN stop * 1.0 / n_tokens ELSE 0.0 END) * 4)
+                + 0.20 * (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0.0 END) * 5))
+                + 0.20 * (CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END)
+                , 4) AS quality,
+                CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 'und'
+                     WHEN n_fr > greatest(n_de, n_en, n_es) THEN 'fr'
+                     WHEN n_es > greatest(n_de, n_en) THEN 'es'
+                     WHEN n_en > n_de THEN 'en'
+                     ELSE 'de' END AS lang_pred
+              FROM ann
+            ), gated AS (
+              SELECT * FROM scored WHERE quality >= 0.3 AND n_tokens >= 5
+            ), keep AS (
+              SELECT fingerprint, min(doc_id) AS doc_id FROM gated GROUP BY 1
+            )
+            SELECT g.doc_id, g.n_tokens, g.quality, g.lang_pred, g.fingerprint
+            FROM gated g JOIN keep k
+              ON g.fingerprint = k.fingerprint AND g.doc_id = k.doc_id
         """,
         # docs_minhash_lsh / docs_simhash / emb_lsh_ann: xxhash64 + seeded-
         # hyperplane based — not reproducible in DuckDB; rows-only here,
