@@ -79,13 +79,23 @@ class ParquetLakeTable(LakeTable):
         key_cols: Sequence[str] = ("conv_id", "turn_idx"),
         bucket_key: str = "conv_id",
         n_buckets: int = 16,
+        mode: str = "cow",
     ) -> None:
+        """``mode``: 'cow' (default) rewrites touched buckets per merge —
+        best read latency, merge cost O(touched buckets).  'mor'
+        (merge-on-read) APPENDS delta files per merge — merge cost O(batch),
+        the right tradeoff for high-frequency small batches; reads resolve
+        LWW over base+deltas and :meth:`compact` folds deltas into the base
+        (Iceberg's copy-on-write vs merge-on-read duality)."""
+        assert mode in ("cow", "mor")
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = list(key_cols)
         self.bucket_key = bucket_key
         self.n_buckets = n_buckets
+        self.mode = mode
         self._data = f"{self.path}/data"
+        self._delta = f"{self.path}/delta"
         self._schema_file = f"{self.path}/_schema.json"
 
     # -- metadata ----------------------------------------------------------
@@ -120,15 +130,42 @@ class ParquetLakeTable(LakeTable):
         if not self.exists():
             raise FileNotFoundError(f"lake table does not exist: {self.path}")
         schema = self._load_schema()
-        return (
+        base = None
+        if os.path.exists(self._data):
+            base = (
+                self.spark.read.schema(
+                    T.StructType(
+                        schema.fields
+                        + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+                    )
+                )
+                .parquet(self._data)
+                .drop(BUCKET_COL)
+            )
+        if self.mode == "cow" or not os.path.exists(self._delta):
+            if base is None:
+                raise FileNotFoundError(f"lake table has no data: {self.path}")
+            return base
+        # merge-on-read: resolve LWW over base (already resolved, acts as
+        # op=STORED) + appended delta events (carry their _op incl DELETE)
+        delta = (
             self.spark.read.schema(
                 T.StructType(
-                    schema.fields + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+                    schema.fields
+                    + [
+                        T.StructField(OP_COL, T.StringType(), True),
+                        T.StructField(BUCKET_COL, T.IntegerType(), True),
+                    ]
                 )
             )
-            .parquet(self._data)
+            .parquet(self._delta)
             .drop(BUCKET_COL)
         )
+        both = delta if base is None else base.withColumn(
+            OP_COL, F.lit("STORED")
+        ).unionByName(delta)
+        resolved = lww_latest(both, self.key_cols, ("ts", SEQ_COL))
+        return resolved.where(F.col(OP_COL) != "DELETE").drop(OP_COL)
 
     # -- merge ---------------------------------------------------------------
     def merge(self, batch: DataFrame, batch_id: int = 0) -> MergeStats:
@@ -160,6 +197,36 @@ class ParquetLakeTable(LakeTable):
         src_schema_nometa = T.StructType(
             [f for f in src.schema.fields if f.name != OP_COL]
         )
+
+        if self.mode == "mor":
+            # merge-on-read fast path: ONE append of the raw batch (with op,
+            # incl. DELETE tombstones) as bucket-partitioned delta files —
+            # no target read, no rewrite; cost is O(batch).  LWW resolution
+            # happens at read; replays append duplicate rows that tie on
+            # (ts, _seq) and resolve identically (idempotent state).
+            if self.exists():
+                new_schema, changes = evolve_schema(
+                    self._load_schema(), src_schema_nometa
+                )
+            else:
+                new_schema, changes = src_schema_nometa, ["create table (mor)"]
+            out = align(src, T.StructType(
+                new_schema.fields + [T.StructField(OP_COL, T.StringType(), True)]
+            )).withColumn(BUCKET_COL, self._bucket_expr())
+            (
+                out.hint("rebalance", BUCKET_COL)
+                .write.mode("append")
+                .partitionBy(BUCKET_COL)
+                .parquet(self._delta)
+            )
+            self._save_schema(new_schema)
+            return MergeStats(
+                batch_rows=-1,
+                affected_buckets=-1,
+                rows_after=-1,  # unresolved until read/compact (by design)
+                commit_id=f"parquet-mor-{batch_id}",
+                schema_changes=changes,
+            )
 
         if self.exists():
             cur_schema = self._load_schema()
@@ -268,15 +335,25 @@ class ParquetLakeTable(LakeTable):
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
-        present = [
+        present = {
             e for e in os.listdir(staging) if e.startswith(f"{BUCKET_COL}=")
-        ]
-        for e in present:
+        }
+        existing = (
+            {e for e in os.listdir(self._data) if e.startswith(f"{BUCKET_COL}=")}
+            if os.path.exists(self._data)
+            else set()
+        )
+        os.makedirs(self._data, exist_ok=True)
+        for e in present | existing:
             dst = f"{self._data}/{e}"
             if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.rename(f"{staging}/{e}", dst)
+                shutil.rmtree(dst)  # replaced, or emptied by delta deletes
+            if e in present:
+                os.rename(f"{staging}/{e}", dst)
         shutil.rmtree(staging, ignore_errors=True)
+        # deltas folded into the base — a crash BEFORE this line replays
+        # them over the new base, where they tie on (ts, _seq): idempotent
+        shutil.rmtree(self._delta, ignore_errors=True)
         return sum(
             len([f for f in files if f.endswith(".parquet")])
             for _, _, files in os.walk(self._data)

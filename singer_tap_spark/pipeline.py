@@ -49,6 +49,9 @@ class PipelineConfig:
     # lines (raw RECORD payloads — the reference's wire format, O20)
     changelog_format: str = "parquet"  # "parquet" | "jsonl"
     jsonl_schema: object | None = None  # StructType; default CHANGE_SCHEMA
+    # sink strategy: 'cow' rewrites touched buckets per merge; 'mor' appends
+    # delta files (O(batch) merges) and resolves LWW at read — compact folds
+    sink_mode: str = "cow"
 
 
 class CDCPipeline:
@@ -61,6 +64,7 @@ class CDCPipeline:
             key_cols=cfg.key_cols,
             bucket_key=cfg.key_cols[0],
             n_buckets=cfg.n_buckets,
+            mode=cfg.sink_mode,
         )
         self.metrics = RunMetrics()
 

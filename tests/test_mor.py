@@ -1,0 +1,91 @@
+"""Merge-on-read sink mode: O(batch) appends, LWW resolved at read,
+compaction folds deltas into the base — same final state as copy-on-write."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from singer_tap_spark import CDCPipeline, PipelineConfig
+from singer_tap_spark.changelog import generate_changelog, write_changelog
+from tests.conftest import assert_frames_equal, duck, lww_oracle_sql
+
+KEYS = ["conv_id", "turn_idx"]
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _cfg(base, **kw):
+    return PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lineage.json",
+        sink_mode="mor",
+        **kw,
+    )
+
+
+def test_mor_multi_batch_matches_oracle(spark, tmp_path):
+    base = str(tmp_path)
+    df = generate_changelog(spark, 9000, update_frac=0.5, delete_frac=0.1, dup_frac=0.05)
+    write_changelog(df, f"{base}/log")
+    p = CDCPipeline(spark, _cfg(base))
+    p.replay(n_batches=5)  # five appends, zero base rewrites
+    assert os.path.exists(f"{base}/tgt/delta")
+    assert not os.path.exists(f"{base}/tgt/data")  # nothing compacted yet
+    got = p.lake.read().select(*COLS).toPandas()
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
+    assert_frames_equal(got, want, KEYS)
+
+
+def test_mor_compact_then_incremental(spark, tmp_path):
+    base = str(tmp_path)
+    df = generate_changelog(spark, 8000, update_frac=0.4, delete_frac=0.1)
+    write_changelog(df.where("seq < 5000"), f"{base}/log")
+    cfg = _cfg(base)
+    p = CDCPipeline(spark, cfg)
+    p.replay()
+    p.lake.compact()  # deltas folded into base
+    assert not os.path.exists(f"{base}/tgt/delta")
+    assert os.path.exists(f"{base}/tgt/data")
+
+    # new events append as fresh deltas over the compacted base
+    df.where("seq >= 5000").repartition(2).write.mode("append").partitionBy(
+        "shard"
+    ).parquet(f"{base}/log")
+    p2 = CDCPipeline(spark, cfg)
+    m = p2.replay()
+    assert 0 < m.total_events <= 3000
+    got = p2.lake.read().select(*COLS).toPandas()
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
+    assert_frames_equal(got, want, KEYS)
+
+
+def test_mor_replay_idempotent(spark, tmp_path):
+    """Appending the same batch twice (crash between merge and lineage)
+    leaves the RESOLVED state identical — ties on (ts, _seq)."""
+    base = str(tmp_path)
+    write_changelog(generate_changelog(spark, 4000, delete_frac=0.1), f"{base}/log")
+    p = CDCPipeline(spark, _cfg(base))
+    batch = p._read_changelog()
+    p.apply_batch(batch, 0)
+    before = p.lake.read().select(*COLS).toPandas()
+    p.apply_batch(batch, 0)  # replay
+    after = p.lake.read().select(*COLS).toPandas()
+    assert_frames_equal(after, before, KEYS)
+
+
+def test_mor_equals_cow(spark, tmp_path):
+    base = str(tmp_path)
+    df = generate_changelog(spark, 6000, update_frac=0.4, delete_frac=0.1)
+    write_changelog(df, f"{base}/log")
+    cow_cfg = PipelineConfig(
+        changelog_path=f"{base}/log", target_path=f"{base}/t_cow",
+        lineage_path=f"{base}/l_cow.json")
+    mor_cfg = PipelineConfig(
+        changelog_path=f"{base}/log", target_path=f"{base}/t_mor",
+        lineage_path=f"{base}/l_mor.json", sink_mode="mor")
+    pc, pm = CDCPipeline(spark, cow_cfg), CDCPipeline(spark, mor_cfg)
+    pc.replay(n_batches=3)
+    pm.replay(n_batches=3)
+    a = pc.lake.read().select(*COLS).toPandas()
+    b = pm.lake.read().select(*COLS).toPandas()
+    assert_frames_equal(b, a, KEYS)
