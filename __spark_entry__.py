@@ -249,6 +249,31 @@ def q_corpus_curate(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
 
 
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum
+    window — the batch twin of streaming session_window, per-user sessions
+    with event counts and bounds."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_id", F.sum("_new").over(w))
+    return (
+        gapped.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 def q_conversation_export(spark, sf_dir):
     """Training-data export: per-'conversation' document with STABLE TURN
     ORDERING (the north-rule per-row invariant), one partial-agg pass.
@@ -309,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_histogram": q_docs_token_histogram,
         "conversation_export": q_conversation_export,
         "corpus_curate": q_corpus_curate,
+        "sessionization": q_sessionization,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -508,6 +534,23 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END // 50) * 50
                    AS bucket, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "sessionization": """
+            WITH gapped AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gapped
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sess GROUP BY 1, 2
         """,
         "conversation_export": """
             SELECT user_id AS conv_id, count(*) AS n_turns,
