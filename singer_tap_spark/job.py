@@ -36,6 +36,8 @@ def _sync(args) -> None:
         replication_method="FULL_TABLE" if args.full_table else "INCREMENTAL",
         n_buckets=args.buckets,
         selected_columns=args.columns.split(",") if args.columns else None,
+        changelog_format=args.format,
+        sink_mode=args.sink_mode,
     )
     p = CDCPipeline(spark, cfg)
     m = p.run_streaming(available_now=not args.continuous) if args.streaming else p.replay(
@@ -144,6 +146,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--batches", type=int, default=1)
     s.add_argument("--buckets", type=int, default=16)
     s.add_argument("--columns", default=None, help="comma-separated payload selection")
+    s.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    s.add_argument("--sink-mode", choices=["cow", "mor"], default="cow")
     s.set_defaults(fn=_sync)
 
     d = sub.add_parser("discover", help="emit a catalog for a lake namespace")
