@@ -263,7 +263,7 @@ def q_sessionization(spark, sf_dir):
             F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"),
             F.lit(1),
         ).otherwise(F.lit(0)),
-    ).withColumn("session_id", F.sum("_new").over(w))
+    ).withColumn("session_id", F.sum("_new").over(w).cast("long"))
     return (
         gapped.groupBy("user_id", "session_id")
         .agg(
@@ -544,8 +544,11 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
               SELECT user_id, ts,
-                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                -- BIGINT cast: DuckDB windowed sum() yields HUGEINT, which
+                -- pandas maps to float64 and the driver hash then mismatches
+                -- Spark's int64 even though values are equal
+                CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM gapped
             )
             SELECT user_id, session_id, count(*) AS n_events,

@@ -56,15 +56,17 @@ def normalize_column(
     NULLs pass through every branch (``["null", T]`` unions, types.go:119-128).
     """
     c = F.col(name)
+    # try_cast, not cast: null-coerce malformed values (reference-faithful
+    # lenient Convert semantics) even if the session runs ANSI-on
     if spec.custom_format == "date-time":
-        return rfc3339(c.cast("string"))
+        return rfc3339(c.try_cast("string"))
     if spec.is_type("boolean"):
-        return c.cast("boolean") if tinyint_as_boolean else c.cast("long")
+        return c.try_cast("boolean") if tinyint_as_boolean else c.try_cast("long")
     if spec.is_type("integer"):
-        return c.cast("long")
+        return c.try_cast("long")
     if spec.is_type("number"):
-        return c.cast("double")
-    return c.cast("string")
+        return c.try_cast("double")
+    return c.try_cast("string")
 
 
 def normalize(

@@ -102,16 +102,48 @@ class ParquetLakeTable(LakeTable):
     def exists(self) -> bool:
         return os.path.exists(self._schema_file)
 
-    def _load_schema(self) -> T.StructType:
+    def _load_meta(self) -> dict:
+        """Table metadata: {"spark_schema": ..., "sink_mode": ...}.  Accepts
+        the legacy bare-StructType form (pre-round-2 tables)."""
         with open(self._schema_file) as f:
-            return T.StructType.fromJson(json.load(f))
+            doc = json.load(f)
+        if "spark_schema" not in doc:  # legacy: the file IS the schema json
+            return {"spark_schema": doc, "sink_mode": None}
+        return doc
+
+    def _load_schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._load_meta()["spark_schema"])
 
     def _save_schema(self, schema: T.StructType) -> None:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._schema_file + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(schema.jsonValue(), f)
+            # sink mode rides with the schema so a later open in the wrong
+            # mode can be detected (see _guard_cow_vs_deltas)
+            json.dump({"spark_schema": schema.jsonValue(),
+                       "sink_mode": self.mode}, f)
         os.replace(tmp, self._schema_file)  # atomic metadata swap
+
+    def _delta_pending(self) -> bool:
+        if not os.path.exists(self._delta):
+            return False
+        for _, _, files in os.walk(self._delta):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _guard_cow_vs_deltas(self) -> None:
+        """A table written in mor mode carries pending delta files; a
+        cow-mode open that silently ignored them would read/merge stale
+        base-only state.  Fail loudly instead (ADVICE r1)."""
+        if self.mode == "cow" and self._delta_pending():
+            persisted = self._load_meta().get("sink_mode") if self.exists() else None
+            raise RuntimeError(
+                f"lake table {self.path} has pending merge-on-read deltas "
+                f"(last written in sink_mode={persisted!r}); open it with "
+                "mode='mor' (or run compact() from a mor-mode instance) "
+                "before using cow mode"
+            )
 
     def schema(self) -> T.StructType:
         return self._load_schema()
@@ -129,6 +161,7 @@ class ParquetLakeTable(LakeTable):
     def read_internal(self) -> DataFrame:
         if not self.exists():
             raise FileNotFoundError(f"lake table does not exist: {self.path}")
+        self._guard_cow_vs_deltas()
         schema = self._load_schema()
         base = None
         if os.path.exists(self._data):
@@ -399,7 +432,13 @@ class IcebergLakeTable(LakeTable):
             batch, self.key_cols, ("ts", "seq"),
             value_cols=[*payload_cols, "ts", "seq", "op"],
         )
-        src.createOrReplaceTempView("_cdc_batch")
+        # view name unique per (table, batch): concurrent stream merges from
+        # sync_all share one SparkSession, so a fixed name would be clobbered
+        # between createOrReplaceTempView and the MERGE (ADVICE r1)
+        view = "_cdc_batch_" + "".join(
+            ch if ch.isalnum() else "_" for ch in self.table
+        ) + f"_{batch_id}"
+        src.createOrReplaceTempView(view)
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
         sets = ", ".join(
             f"t.{c} = s.{c}" for c in (*payload_cols, "ts")
@@ -408,14 +447,17 @@ class IcebergLakeTable(LakeTable):
         vals = ", ".join([f"s.{c}" for c in (*self.key_cols, *payload_cols, "ts")] + ["s.seq"])
         # the (ts, seq) > (t.ts, t._seq) struct compare IS the sequence guard
         guard = f"(named_struct('ts', s.ts, 'seq', s.seq) > named_struct('ts', t.ts, 'seq', t.{SEQ_COL}))"
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t USING _cdc_batch s ON {on}
-            WHEN MATCHED AND s.op = 'DELETE' AND {guard} THEN DELETE
-            WHEN MATCHED AND s.op <> 'DELETE' AND {guard} THEN UPDATE SET {sets}
-            WHEN NOT MATCHED AND s.op <> 'DELETE' THEN INSERT ({cols}) VALUES ({vals})
-            """
-        )
+        try:
+            self.spark.sql(
+                f"""
+                MERGE INTO {self.table} t USING {view} s ON {on}
+                WHEN MATCHED AND s.op = 'DELETE' AND {guard} THEN DELETE
+                WHEN MATCHED AND s.op <> 'DELETE' AND {guard} THEN UPDATE SET {sets}
+                WHEN NOT MATCHED AND s.op <> 'DELETE' THEN INSERT ({cols}) VALUES ({vals})
+                """
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
         snap = self.spark.sql(
             f"SELECT snapshot_id FROM {self.table}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).collect()

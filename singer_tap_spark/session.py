@@ -1,8 +1,9 @@
 """SparkSession factory tuned for the CDC workload.
 
-Defaults chosen for correctness-vs-DuckDB comparisons (UTC session TZ, ANSI
-off to match the reference's lenient coercion, value_converter.go:47-57) and
-for scale (AQE on, Arrow on for the vectorized decode path).
+Defaults chosen for correctness-vs-DuckDB comparisons (UTC session TZ) and
+reference parity (ANSI explicitly OFF — Spark 4 defaults it on — so casts
+null-coerce like the reference's lenient Convert, value_converter.go:47-57),
+plus scale settings (AQE on, Arrow on for the vectorized decode path).
 """
 
 from __future__ import annotations
@@ -35,6 +36,12 @@ def get_spark(
         .master(master)
         # deterministic oracle comparisons: DuckDB timestamps are UTC-naive
         .config("spark.sql.session.timeZone", "UTC")
+        # EXPLICITLY lenient (Spark 4 defaults ANSI on): malformed casts
+        # null-coerce instead of raising, matching the reference's Convert
+        # semantics (value_converter.go:11-57 never errors, it coerces).
+        # decode.normalize additionally uses try_cast so its semantics hold
+        # even under a foreign ANSI-on session.
+        .config("spark.sql.ansi.enabled", "false")
         # runtime re-planning: coalesce tiny shuffle partitions, split skewed ones
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -89,3 +89,33 @@ def test_mor_equals_cow(spark, tmp_path):
     a = pc.lake.read().select(*COLS).toPandas()
     b = pm.lake.read().select(*COLS).toPandas()
     assert_frames_equal(b, a, KEYS)
+
+
+def test_cow_open_on_pending_deltas_raises(spark, tmp_path):
+    """A table with pending mor deltas opened in cow mode (the CLI default)
+    must fail loudly — silently reading base-only state loses writes."""
+    import json
+
+    import pytest
+
+    from singer_tap_spark.lake import ParquetLakeTable
+
+    base = str(tmp_path)
+    write_changelog(generate_changelog(spark, 3000), f"{base}/log")
+    cfg = _cfg(base)
+    p = CDCPipeline(spark, cfg)
+    p.replay()  # mor: deltas pending, no base
+
+    # sink mode is persisted with the schema metadata
+    with open(f"{base}/tgt/_schema.json") as f:
+        assert json.load(f)["sink_mode"] == "mor"
+
+    cow = ParquetLakeTable(spark, f"{base}/tgt", mode="cow")
+    with pytest.raises(RuntimeError, match="pending merge-on-read deltas"):
+        cow.read()
+    with pytest.raises(RuntimeError, match="pending merge-on-read deltas"):
+        cow.merge(p._read_changelog().limit(10), batch_id=1)
+
+    # compact from a mor instance resolves; cow open then works
+    p.lake.compact()
+    assert cow.read().count() > 0
