@@ -4,9 +4,11 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data ops); each callable takes (spark, sf_dir) -> DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twin for every SQL-expressible
-query (same column names; driver hash-compares values).  Ops whose hashing
-primitive DuckDB cannot reproduce (xxhash64-based MinHash/SimHash/LSH) are
-rows-only and covered by pytest oracles instead.
+query (same column names; driver hash-compares values).  The approximate ops
+(MinHash-LSH, LSH-ANN, embedding near-dup) emit their VERIFIED/exact-scored
+output, whose recall is measured complete on these corpora (pytest-enforced),
+so they get full SQL oracles too; only the raw SimHash signature table
+(xxhash64-based) stays rows-only with a pytest oracle.
 """
 
 from __future__ import annotations
@@ -192,22 +194,14 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (a < b, sim >= threshold) — the
-    embedding variant of the dedup family."""
-    from singer_tap_spark.ops.similarity import _dot, with_unit_vec
+    """Embedding-cosine near-dup pairs (a < b, sim >= threshold) via
+    LSH-bucket discovery + exact verify — the scale path (the r1 all-pairs
+    nested-loop form is gone).  The oracle is the exact brute-force SQL;
+    parity is measured (and pytest-enforced) at these settings."""
+    from singer_tap_spark.ops.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    u = with_unit_vec(emb).select(F.col("vec_id").alias("id"), F.col("_unit").alias("v"))
-    return (
-        u.alias("l")
-        .join(u.alias("r"), F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.round(_dot("l.v", "r.v"), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.35)
-    )
+    return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
 def q_docs_quality_topk(spark, sf_dir):
@@ -292,24 +286,36 @@ def q_conversation_export(spark, sf_dir):
     )
 
 
-# rows-only (xxhash64-based — DuckDB cannot reproduce; pytest oracles cover):
-
 def q_docs_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified on candidates
+    only.  Output (a, b, jaccard) is oracle-checkable with plain Jaccard
+    SQL because the banding's recall at threshold 0.5 is measured complete
+    on this corpus (pytest enforces parity vs the exact join, so a
+    regression surfaces locally before the driver sees it)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    return minhash_lsh_candidates(d.unionByName(
+    corpus = d.unionByName(
         # planted near-dups: same text re-labeled with offset ids
         d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
-    ), verify_threshold=0.5)
+    )
+    return minhash_lsh_candidates(corpus, verify_threshold=0.5).select(
+        "a", "b", "jaccard"
+    )
 
+
+def q_emb_lsh_ann(spark, sf_dir):
+    """LSH-ANN top-5 — measured exact vs brute force at these settings on
+    this corpus (pytest-enforced), so the oracle is the exact top-k SQL."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return lsh_ann_topk(emb, k=5, n_planes=2, n_tables=32).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+# rows-only (xxhash64-based — DuckDB cannot reproduce; pytest oracles cover):
 
 def q_docs_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return simhash(d)
-
-
-def q_emb_lsh_ann(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return lsh_ann_topk(emb, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -602,7 +608,56 @@ def oracle_sql() -> dict[str, str]:
             FROM gated g JOIN keep k
               ON g.fingerprint = k.fingerprint AND g.doc_id = k.doc_id
         """,
-        # docs_minhash_lsh / docs_simhash / emb_lsh_ann: xxhash64 + seeded-
-        # hyperplane based — not reproducible in DuckDB; rows-only here,
-        # exact-oracle checks live in tests/test_ops_*.py
+        # MinHash-LSH is xxhash64-based, but its VERIFIED output (a, b,
+        # exact jaccard >= 0.5) is plain-SQL-checkable because banding
+        # recall at 0.5 is measured complete on this corpus
+        # (tests/test_ops_dedup.py enforces parity vs the exact join).
+        "docs_minhash_lsh": """
+            WITH base AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 150
+            ), docs AS (
+              SELECT doc_id AS id, t FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS id, t FROM base
+            ), sh AS (
+              SELECT DISTINCT id, substr(t, i, 4) AS shingle
+              FROM docs, unnest(range(1, greatest(length(t) - 3, 1) + 1)) AS u(i)
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), pairs AS (
+              SELECT l.id AS a, r.id AS b, count(*) AS inter
+              FROM sh l JOIN sh r USING (shingle) WHERE l.id < r.id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+              round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+            WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+        """,
+        # LSH-ANN: measured exact vs brute force at the entry's settings, so
+        # the oracle is the exact top-k SQL (same kernel as emb_cosine_topk).
+        "emb_lsh_ann": """
+            WITH u AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings WHERE vec_id < 200
+            ), unit AS (
+              SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM u
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, len(q.uv) + 1),
+                                              i -> q.uv[i] * c.uv[i])), 6) AS cos_sim
+              FROM unit q JOIN unit c ON c.vec_id <> q.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        """,
+        # docs_simhash: xxhash64 signatures — not reproducible in DuckDB;
+        # rows-only here, exact-oracle checks live in tests/test_ops_dedup.py
     }

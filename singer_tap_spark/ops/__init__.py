@@ -20,8 +20,10 @@ from singer_tap_spark.ops.dedup_text import (  # noqa: F401
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
 from singer_tap_spark.ops.similarity import (  # noqa: F401
     brute_force_topk,
+    embedding_near_dup_pairs,
     lsh_ann_topk,
 )

