@@ -175,6 +175,40 @@ class Catalog:
         return Catalog(streams)
 
 
+def _infer_keys(root: str, name: str, path: str) -> list[str]:
+    """PK auto-discovery — the information_schema PRI-column scan analogue
+    (planetscale_edge_mysql.go:169-195).  Sources, in precedence order:
+
+    1. parquet footer key-value metadata ``key_properties`` (a JSON list) —
+       the source-embedded form, like MySQL's own schema metadata; an
+       Iceberg table's *identifier fields* play this role on the cluster
+       path;
+    2. a ``<root>/_keys.json`` sidecar mapping table name -> key list —
+       the operator-maintained form for key-less parquet exports.
+    """
+    try:
+        import pyarrow.dataset as pds
+
+        d = pds.dataset(path, format="parquet")
+        frag = next(iter(d.get_fragments()), None)
+        if frag is not None:
+            meta = frag.physical_schema.metadata or {}
+            raw = meta.get(b"key_properties")
+            if raw:
+                keys = json.loads(raw.decode())
+                if isinstance(keys, list):
+                    return [str(k) for k in keys]
+    except Exception:
+        pass
+    sidecar = os.path.join(root, "_keys.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            mapping = json.load(f)
+        if name in mapping:
+            return [str(k) for k in mapping[name]]
+    return []
+
+
 def discover(
     spark: SparkSession,
     root: str,
@@ -184,7 +218,13 @@ def discover(
     """Discover mode (discover.go:18-63): every ``<root>/<name>.parquet`` (or
     ``<name>/`` dataset dir) becomes a Stream; schema read from footer
     metadata only — no data scan.  ``excluded`` mirrors the tap's excluded
-    tables filter (discover.go:31-34)."""
+    tables filter (discover.go:31-34).
+
+    Keys come from explicit ``key_properties`` config when given, else are
+    AUTO-DISCOVERED from source metadata (:func:`_infer_keys`) — the
+    reference reads information_schema PKs the same way (discover.go:36-44
+    via planetscale_edge_mysql.go:169-195); a config dict is no longer
+    required for keyed streams."""
     key_properties = key_properties or {}
     excluded = excluded or set()
     streams = []
@@ -197,7 +237,7 @@ def discover(
             schema = spark.read.parquet(path).schema
         except Exception:
             continue  # not a parquet dataset
-        keys = key_properties.get(name, [])
+        keys = key_properties.get(name) or _infer_keys(root, name, path)
         streams.append(
             Stream(
                 name=name,

@@ -178,9 +178,15 @@ def write_changelog(
     df: DataFrame, path: str, *, n_files_per_shard: int = 4
 ) -> None:
     """Persist a change log as shard-partitioned parquet (the test/file
-    source layout; in production the source is Kafka/Iceberg CDC)."""
+    source layout; in production the source is Kafka/Iceberg CDC).  The
+    deterministic salt spreads a hot shard over ``n_files_per_shard`` writer
+    tasks/files (same layout at any parallelism)."""
+    from singer_tap_spark.salt import salted_repartition
+
     (
-        df.repartition(n_files_per_shard, "shard", F.pmod(F.xxhash64("seq"), F.lit(n_files_per_shard)))
+        salted_repartition(
+            df, ["shard"], ["seq"], n_files_per_shard, n_salts=n_files_per_shard
+        )
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

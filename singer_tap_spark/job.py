@@ -28,6 +28,17 @@ def _sync(args) -> None:
     from singer_tap_spark import CDCPipeline, PipelineConfig, get_spark
 
     spark = get_spark("singer-tap-spark-sync")
+    specs = None
+    if args.specs:
+        from singer_tap_spark.decode import PropertySpec
+
+        specs = {
+            name: PropertySpec(
+                types=body.get("type", body.get("types", ["null", "string"])),
+                custom_format=body.get("format"),
+            )
+            for name, body in json.loads(args.specs).items()
+        }
     cfg = PipelineConfig(
         changelog_path=args.changelog,
         target_path=args.target,
@@ -38,8 +49,14 @@ def _sync(args) -> None:
         selected_columns=args.columns.split(",") if args.columns else None,
         changelog_format=args.format,
         sink_mode=args.sink_mode,
+        property_specs=specs,
+        tinyint_as_boolean=args.tinyint_as_boolean,
     )
     p = CDCPipeline(spark, cfg)
+    if args.delta_feed:
+        p.run_delta_feed(args.delta_feed, available_now=not args.continuous)
+        print(json.dumps({"delta_feed": args.delta_feed}))
+        return
     m = p.run_streaming(available_now=not args.continuous) if args.streaming else p.replay(
         n_batches=args.batches
     )
@@ -148,6 +165,22 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--columns", default=None, help="comma-separated payload selection")
     s.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     s.add_argument("--sink-mode", choices=["cow", "mor"], default="cow")
+    s.add_argument(
+        "--delta-feed", default=None, metavar="PATH",
+        help="streaming head: write the stateful per-key UPSERT/DELETE "
+             "delta feed to PATH instead of materializing the table",
+    )
+    s.add_argument(
+        "--specs", default=None,
+        help='JSON property specs for type normalization (O12), e.g. '
+             '{"ts": {"type": ["null", "string"], "format": "date-time"}}',
+    )
+    s.add_argument(
+        "--tinyint-as-boolean", action=argparse.BooleanOptionalAction,
+        default=True,
+        help="treat boolean-typed properties as booleans vs 0/1 ints "
+             "(singer-tap main.go:43)",
+    )
     s.set_defaults(fn=_sync)
 
     d = sub.add_parser("discover", help="emit a catalog for a lake namespace")

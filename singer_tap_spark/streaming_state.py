@@ -31,13 +31,20 @@ def stateful_lww_updates(
     key_cols: Sequence[str] = ("conv_id", "turn_idx"),
     payload_cols: Sequence[str] = ("role", "text", "tool"),
     watermark_delay: str = "10 minutes",
+    output_mode: str = "update",
+    set_watermark: bool = True,
 ) -> DataFrame:
     """Streaming per-key LWW delta feed via ``applyInPandasWithState``.
 
     Input: a *streaming* DataFrame with key cols + ``op/ts/seq`` + payload.
-    Output (update mode): one row per key per batch IFF that batch advanced
-    the key's LWW winner — columns: key + op + payload + ts + seq.
+    Output: one row per key per batch IFF that batch advanced the key's LWW
+    winner — columns: key + op + payload + ts + seq.
     State per key: the winning (ts, seq) + payload (bounded: one row/key).
+
+    ``output_mode``: 'update' for in-place sinks (memory/foreachBatch);
+    'append' when the feed lands in an append-only sink (the parquet change
+    feed — each emitted row is an immutable upsert/delete EVENT there, so
+    append semantics are correct; file sinks accept nothing else).
     """
     key_cols = list(key_cols)
     payload_cols = list(payload_cols)
@@ -82,10 +89,13 @@ def stateful_lww_updates(
                            columns=[*key_cols, *value_cols])
         return iter((out,))
 
+    # set_watermark=False when the caller already watermarked the stream
+    # (Spark disallows redefining it downstream of a stateful op)
+    if set_watermark:
+        events = events.withWatermark("ts", watermark_delay)
     return (
-        events.withWatermark("ts", watermark_delay)
-        .groupBy(*key_cols)
+        events.groupBy(*key_cols)
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            fn, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
         )
     )

@@ -57,6 +57,15 @@ def sync_all(
     ``max_concurrent_streams``; each stream's FULL_TABLE/INCREMENTAL mode
     comes from its catalog metadata (sync.go:68-83)."""
     selected = catalog.filter_selected()
+    keyless = [s.name for s in selected.streams if not s.key_properties]
+    if keyless:
+        # a key-less stream makes the keyed merge sink meaningless — refuse
+        # loudly instead of silently emitting an unmergeable table
+        raise ValueError(
+            f"selected streams have no key_properties: {keyless}; supply keys "
+            "via discover(key_properties=...), parquet footer metadata, or a "
+            "_keys.json sidecar"
+        )
 
     def run(stream) -> tuple[str, RunMetrics]:
         payload_cols = [
@@ -74,25 +83,111 @@ def sync_all(
         return dict(ex.map(run, selected.streams))
 
 
-def bootstrap_from_snapshot(
-    pipeline: CDCPipeline, snapshot: DataFrame, ts_col: str = "ts"
-) -> None:
-    """Initial full copy: every snapshot row becomes an INSERT at sequence 0
-    (so ANY later change wins the LWW guard), applied through the normal
-    merge path — then incremental replay takes over from the change log.
-    Mirrors VStream's copy-then-stream phase with `LastKnownPk` resume: to
-    resume a partial bootstrap, pass ``pipeline.cfg.last_pk`` and filter the
-    snapshot with :meth:`CDCPipeline.pk_resume_filter`."""
-    cfg = pipeline.cfg
-    snap = snapshot
-    if cfg.last_pk:
-        snap = CDCPipeline.pk_resume_filter(snap, cfg.key_cols, cfg.last_pk)
-    batch = (
-        snap.withColumn("shard", F.lit("-"))
-        .withColumn("offset", F.lit(-1).cast("long"))
-        .withColumn("seq", F.lit(-1).cast("long"))
-        .withColumn("op", F.lit("INSERT"))
+_SNAPSHOT_SHARD = "-"
+
+
+def _pk_boundaries(
+    snap: DataFrame, key_cols: tuple[str, ...], n_chunks: int
+) -> list[dict]:
+    """Approximate PK-tuple quantile boundaries for chunking, from a
+    driver-side sorted sample (~200 pks per chunk — metadata-sized).  Works
+    for ANY orderable key type (strings included), unlike approxQuantile.
+    Boundary imbalance only skews chunk sizes, never correctness: chunks
+    are contiguous PK ranges either way."""
+    total = snap.count()
+    if total == 0:
+        return []
+    frac = min(1.0, (n_chunks * 200.0) / total)
+    pks = (
+        snap.select(*key_cols).sample(fraction=frac, seed=7)
+        .collect()
     )
-    if ts_col != "ts":
-        batch = batch.withColumn("ts", F.col(ts_col))
-    pipeline.apply_batch(batch, batch_id=-1)
+    pks.sort(key=lambda r: tuple(r))
+    out: list[dict] = []
+    for i in range(1, n_chunks):
+        b = pks[min(len(pks) - 1, i * len(pks) // n_chunks)]
+        d = b.asDict()
+        if not out or out[-1] != d:
+            out.append(d)
+    return out
+
+
+def bootstrap_from_snapshot(
+    pipeline: CDCPipeline,
+    snapshot: DataFrame,
+    ts_col: str = "ts",
+    n_chunks: int = 1,
+) -> None:
+    """Initial full copy: every snapshot row becomes an INSERT at sequence
+    -1 (so ANY later change wins the LWW guard), applied through the normal
+    merge path — then incremental replay takes over from the change log.
+
+    Mirrors VStream's copy-then-stream phase WITH `LastKnownPk` mid-table
+    resume (planetscale_edge_database.go:175-186, :244-252; types.go:
+    471-484): with ``n_chunks > 1`` the snapshot is applied in contiguous
+    PK-range chunks and the chunk's upper PK bound is persisted as the
+    snapshot cursor's ``last_pk`` after each chunk commits (flush-before-
+    state, same as the change path).  A crashed bootstrap therefore resumes
+    after the last COMPLETED chunk instead of re-copying the table; a chunk
+    replayed across the crash boundary ties on (ts, seq=-1) and is absorbed
+    by the merge guard.  Explicit ``pipeline.cfg.last_pk`` overrides the
+    persisted cursor."""
+    from singer_tap_spark.lineage import Lineage, ShardCursor
+
+    cfg = pipeline.cfg
+
+    # resume point: explicit config > persisted snapshot cursor
+    last_pk = cfg.last_pk
+    if last_pk is None:
+        saved = Lineage.load(cfg.lineage_path)
+        if saved is not None:
+            cur = saved.streams.get(cfg.stream_name, {}).get(_SNAPSHOT_SHARD)
+            if cur is not None and cur.last_pk:
+                last_pk = cur.last_pk
+    snap = snapshot
+    if last_pk:
+        snap = CDCPipeline.pk_resume_filter(snap, cfg.key_cols, last_pk)
+
+    def _to_batch(df: DataFrame) -> DataFrame:
+        b = (
+            df.withColumn("shard", F.lit(_SNAPSHOT_SHARD))
+            .withColumn("offset", F.lit(-1).cast("long"))
+            .withColumn("seq", F.lit(-1).cast("long"))
+            .withColumn("op", F.lit("INSERT"))
+        )
+        if ts_col != "ts":
+            b = b.withColumn("ts", F.col(ts_col))
+        return b
+
+    def _persist_last_pk(pk: dict) -> None:
+        lin = Lineage.load(cfg.lineage_path) or Lineage.empty(
+            cfg.stream_name, [_SNAPSHOT_SHARD]
+        )
+        shards = lin.streams.setdefault(cfg.stream_name, {})
+        cur = shards.setdefault(_SNAPSHOT_SHARD, ShardCursor())
+        cur.last_pk = pk
+        lin.save(cfg.lineage_path)
+
+    if n_chunks <= 1:
+        pipeline.apply_batch(_to_batch(snap), batch_id=-1)
+        return
+
+    bounds = _pk_boundaries(snap, cfg.key_cols, n_chunks)
+    lhs = F.struct(*[F.col(c) for c in cfg.key_cols])
+
+    def _lit_pk(pk: dict) -> F.Column:
+        return F.struct(*[F.lit(pk[c]).alias(c) for c in cfg.key_cols])
+
+    prev: dict | None = None
+    for b in [*bounds, None]:
+        pred = None
+        if prev is not None:
+            pred = lhs > _lit_pk(prev)
+        if b is not None:
+            upper = lhs <= _lit_pk(b)
+            pred = upper if pred is None else (pred & upper)
+        chunk = snap if pred is None else snap.where(pred)
+        pipeline.apply_batch(_to_batch(chunk), batch_id=-1)
+        if b is not None:  # flush-before-state: chunk committed, now cursor
+            _persist_last_pk(b)
+        prev = b

@@ -77,3 +77,60 @@ def test_jsonschema_type_mapping(spark):
     assert "number" in props["value"].types
     assert "string" in props["event_type"].types
     assert all("null" in p.types for p in props.values())  # ["null", T] unions
+
+
+# -- PK auto-discovery (discover.go:36-44 / planetscale_edge_mysql.go:169-195)
+
+def _write_keyed_parquet(path, keys):
+    """Parquet file whose footer key-value metadata names its PKs — the
+    information_schema analogue a lake writer embeds."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({"conv_id": [1, 2], "turn_idx": [0, 0], "text": ["a", "b"]})
+    tbl = tbl.replace_schema_metadata(
+        {b"key_properties": _json.dumps(keys).encode()}
+    )
+    pq.write_table(tbl, path)
+
+
+def test_discover_infers_keys_from_footer_metadata(spark, tmp_path):
+    root = str(tmp_path)
+    _write_keyed_parquet(f"{root}/keyed.parquet", ["conv_id", "turn_idx"])
+    cat = discover(spark, root)  # NO key_properties argument
+    s = {x.name: x for x in cat.streams}["keyed"]
+    assert s.key_properties == ["conv_id", "turn_idx"]
+
+
+def test_discover_infers_keys_from_sidecar(spark, tmp_path):
+    import json as _json
+
+    root = str(tmp_path)
+    spark.range(5).selectExpr("id AS event_id", "id * 2 AS v").write.parquet(
+        f"{root}/plain.parquet"
+    )
+    with open(f"{root}/_keys.json", "w") as f:
+        _json.dump({"plain": ["event_id"]}, f)
+    cat = discover(spark, root)
+    s = {x.name: x for x in cat.streams}["plain"]
+    assert s.key_properties == ["event_id"]
+    # explicit config still wins over inference
+    cat2 = discover(spark, root, key_properties={"plain": ["v"]})
+    assert {x.name: x for x in cat2.streams}["plain"].key_properties == ["v"]
+
+
+def test_sync_all_refuses_keyless_selected_stream(spark, tmp_path):
+    import pytest as _pytest
+
+    from singer_tap_spark.sync import SyncLayout, sync_all
+
+    root = str(tmp_path)
+    spark.range(5).selectExpr("id AS a").write.parquet(f"{root}/nokeys.parquet")
+    cat = discover(spark, root)
+    for s in cat.streams:
+        s.selected = True
+    layout = SyncLayout(f"{root}", f"{root}/tgt", f"{root}/state")
+    with _pytest.raises(ValueError, match="no key_properties"):
+        sync_all(spark, cat, layout)

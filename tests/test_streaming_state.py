@@ -78,3 +78,39 @@ def test_delta_feed_suppresses_stale_batches(spark, tmp_path):
     )
     assert stale.count() == 0
     assert n1 > 0
+
+
+def test_pipeline_delta_feed_head(spark, tmp_path):
+    """The pipeline wiring for the stateful feed (VERDICT r1 #10): the
+    parquet change feed written by run_delta_feed resolves (LWW + DELETE
+    filter) to the same final state as the merge sink over the same log."""
+    from singer_tap_spark import CDCPipeline, PipelineConfig
+
+    base = str(tmp_path)
+    df = generate_changelog(spark, 4000, update_frac=0.5, delete_frac=0.1)
+    write_changelog(df, f"{base}/log")
+    cfg = PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lineage.json",
+        checkpoint_dir=f"{base}/ckpt_feed",
+    )
+    p = CDCPipeline(spark, cfg)
+    p.run_delta_feed(f"{base}/feed")
+
+    feed = spark.read.parquet(f"{base}/feed")
+    resolved = lww_latest(
+        feed, ("conv_id", "turn_idx"), ("ts", "seq"),
+        value_cols=["op", "role", "text", "tool", "ts", "seq"],
+    ).where(F.col("op") != "DELETE").drop("op", "seq")
+
+    cfg2 = PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt2",
+        lineage_path=f"{base}/lineage2.json",
+    )
+    p2 = CDCPipeline(spark, cfg2)
+    p2.replay()
+    want = p2.lake.read().select(*resolved.columns)
+    assert resolved.exceptAll(want).count() == 0
+    assert want.exceptAll(resolved).count() == 0

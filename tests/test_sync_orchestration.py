@@ -80,3 +80,60 @@ def test_bootstrap_then_incremental(spark, tmp_path):
     # every non-snapshot row in the target is justified by the oracle,
     # except the overlapping snapshot key if the log never touched it
     assert got.count() <= 1
+
+
+def test_chunked_bootstrap_resumes_after_crash(spark, tmp_path):
+    """Kill-between-chunks: a crashed chunked bootstrap must resume from
+    the persisted last_pk and NOT re-copy completed PK ranges
+    (planetscale_edge_database.go:244-252 LastKnownPk semantics)."""
+    base = str(tmp_path)
+    snapshot = (
+        spark.range(1000)
+        .selectExpr(
+            "concat('conv-', lpad(cast(id as string), 6, '0')) AS conv_id",
+            "cast(id % 3 AS int) AS turn_idx",
+            "'user' AS role",
+            "concat('text-', id) AS text",
+            "cast(NULL as string) AS tool",
+        )
+        .withColumn("ts", F.to_timestamp(F.lit("2020-01-01 00:00:00")))
+    )
+    cfg = PipelineConfig(
+        changelog_path=f"{base}/log",  # unused: bootstrap only
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lineage.json",
+    )
+    p = CDCPipeline(spark, cfg)
+
+    # crash after 2 of 5 chunks
+    real_apply = CDCPipeline.apply_batch
+    calls = {"n": 0, "rows": 0}
+
+    def crashing(self, batch, batch_id):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-bootstrap")
+        calls["n"] += 1
+        m = real_apply(self, batch, batch_id)
+        calls["rows"] += m.events
+        return m
+
+    CDCPipeline.apply_batch = crashing
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            bootstrap_from_snapshot(p, snapshot, n_chunks=5)
+    finally:
+        CDCPipeline.apply_batch = real_apply
+    first_run_rows = calls["rows"]
+    assert 0 < first_run_rows < 1000  # partial progress, persisted
+
+    # resume: a FRESH pipeline (no in-memory state) finishes the copy
+    p2 = CDCPipeline(spark, cfg)
+    bootstrap_from_snapshot(p2, snapshot, n_chunks=5)
+    resumed_rows = p2.metrics.total_events
+    # completed ranges are NOT re-copied: the two runs partition the table
+    assert first_run_rows + resumed_rows == 1000
+    final = p2.lake.read()
+    assert final.count() == 1000
+    assert final.select("conv_id", "turn_idx").distinct().count() == 1000
