@@ -95,6 +95,7 @@ def main() -> None:
         "docs_simhash",
         "emb_cosine_topk",
         "emb_lsh_ann",
+        "emb_near_dup_pairs",
     ]:
         timed(name, lambda n=name: Q[n](spark, sf_dir).count())
 

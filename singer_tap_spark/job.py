@@ -95,9 +95,18 @@ def _bench_replay(args) -> None:
         update_frac=0.3,
         delete_frac=0.05,
         dup_frac=0.02,
-        hot_conv_frac=0.1,
+        hot_conv_frac=args.hot_frac,
         n_shards=args.shards,
     )
+    if args.shard_subset:
+        # executor analogue (bench/scaling_multijvm.py): this process owns
+        # shard i of every k — conversations are shard-local, so JVMs
+        # partition the work exactly like bucketed executors on a cluster
+        from pyspark.sql import functions as F
+
+        i, k = (int(x) for x in args.shard_subset.split(":"))
+        keep = [f"shard-{s}" for s in range(args.shards) if s % k == i]
+        df = df.where(F.col("shard").isin(keep))
     write_changelog(df, log_path, n_files_per_shard=args.files_per_shard)
     gen_s = time.monotonic() - gen_t0
 
@@ -199,6 +208,17 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--files-per-shard", type=int, default=8)
     b.add_argument("--streaming", action="store_true")
     b.add_argument("--reps", type=int, default=1)
+    b.add_argument(
+        "--hot-frac", type=float, default=0.1,
+        help="fraction of events funneled into one hot conversation "
+             "(0 for the multi-JVM scaling protocol: isolated JVMs cannot "
+             "rebalance source skew the way one app's shuffle does)",
+    )
+    b.add_argument(
+        "--shard-subset", default=None, metavar="i:k",
+        help="process only shards where shard_index %% k == i (multi-JVM "
+             "executor-analogue scaling protocol)",
+    )
     b.add_argument("--workdir", default="/tmp/singer_tap_spark_bench")
     b.add_argument("--keep", action="store_true")
     b.set_defaults(fn=_bench_replay)

@@ -66,9 +66,14 @@ class LakeTable(ABC):
     def read(self) -> DataFrame: ...
 
     @abstractmethod
-    def merge(self, batch: DataFrame, batch_id: int) -> MergeStats:
+    def merge(
+        self, batch: DataFrame, batch_id: int, affected: list[int] | None = None
+    ) -> MergeStats:
         """Apply one micro-batch of change events (columns: key + payload +
-        ts + seq + op), idempotently, LWW by (ts, seq)."""
+        ts + seq + op), idempotently, LWW by (ts, seq).  ``affected``: the
+        batch's bucket ids when the caller already knows them (lets the
+        caller fold bucket discovery into its own stats pass — one fewer
+        job/scan per batch)."""
 
 
 class ParquetLakeTable(LakeTable):
@@ -201,7 +206,12 @@ class ParquetLakeTable(LakeTable):
         return resolved.where(F.col(OP_COL) != "DELETE").drop(OP_COL)
 
     # -- merge ---------------------------------------------------------------
-    def merge(self, batch: DataFrame, batch_id: int = 0) -> MergeStats:
+    def merge(
+        self,
+        batch: DataFrame,
+        batch_id: int = 0,
+        affected: list[int] | None = None,
+    ) -> MergeStats:
         """Copy-on-write keyed merge of one (already decoded) change batch.
 
         One declarative plan, one key-shuffle (Catalyst prunes partitions
@@ -271,9 +281,10 @@ class ParquetLakeTable(LakeTable):
                 T.StructField(OP_COL, T.StringType(), True)]))
             # prune the target scan to the buckets this batch touches
             src = src.withColumn(BUCKET_COL, self._bucket_expr())
-            affected = [
-                r[0] for r in src.select(BUCKET_COL).distinct().collect()
-            ]  # bounded by n_buckets — a metadata-sized collect
+            if affected is None:
+                affected = [
+                    r[0] for r in src.select(BUCKET_COL).distinct().collect()
+                ]  # bounded by n_buckets — a metadata-sized collect
             cur = cur.withColumn(BUCKET_COL, self._bucket_expr()).where(
                 F.col(BUCKET_COL).isin(affected)
             )
@@ -421,7 +432,12 @@ class IcebergLakeTable(LakeTable):
     def read(self) -> DataFrame:
         return self.spark.table(self.table).drop(SEQ_COL)
 
-    def merge(self, batch: DataFrame, batch_id: int = 0) -> MergeStats:
+    def merge(
+        self,
+        batch: DataFrame,
+        batch_id: int = 0,
+        affected: list[int] | None = None,  # Iceberg prunes via MERGE itself
+    ) -> MergeStats:
         payload_cols = [
             c
             for c in batch.columns

@@ -287,18 +287,24 @@ class CDCPipeline:
         # ignores.  (Streaming additionally runs dropDuplicatesWithinWatermark
         # upstream to keep *state-bounded* cross-batch dedup.)
         #
-        # Small agg over (shard, offset) only — Catalyst prunes the scan to
-        # two columns: per-shard high-water marks + received count
-        # (the cursor advance, OnCursor analogue).
-        stats = (
-            batch.groupBy("shard")
-            .agg(F.max("offset").alias("mx"), F.count("*").alias("n"))
-            .collect()
-        )
+        # ONE small agg computes the cursor advance (per-shard high-water
+        # mark + received count, OnCursor analogue) AND the touched-bucket
+        # set — folding what used to be a second distinct() job/scan into
+        # the same pass (Catalyst prunes the scan to three columns).
+        aggs = [F.max("offset").alias("mx"), F.count("*").alias("n")]
+        bucketed_sink = isinstance(self.lake, ParquetLakeTable)
+        if bucketed_sink:
+            aggs.append(
+                F.collect_set(self.lake._bucket_expr()).alias("bks")
+            )
+        stats = batch.groupBy("shard").agg(*aggs).collect()
         n_events = sum(r["n"] for r in stats)
         if n_events == 0:
             return BatchMetrics(batch_id, 0, -1, 0, time.monotonic() - t0)
-        ms = self.lake.merge(batch.drop("schema_version"), batch_id)
+        affected = (
+            sorted({b for r in stats for b in r["bks"]}) if bucketed_sink else None
+        )
+        ms = self.lake.merge(batch.drop("schema_version"), batch_id, affected)
         lineage = Lineage.load(self.cfg.lineage_path) or Lineage.empty(
             self.cfg.stream_name, []
         )
