@@ -88,6 +88,56 @@ def signature_expr(vec_col, planes: list[list[float]]) -> F.Column:
     return sum(bits[1:], bits[0])
 
 
+def _all_table_sigs(
+    u: DataFrame, dim: int, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """(id, v, tbl, sig) for every table from ONE scan.
+
+    Shape matters twice here: a union of n_tables branches re-scans the
+    corpus once per table (32 scans at 32 tables), while one projection
+    holding n_tables * n_planes inlined dot-product folds blows past the
+    JIT method limit and drops whole-stage codegen to interpreted mode
+    (measured 3x slower).  So: explode the table ids FIRST, then compute
+    each row's signature with a SMALL expression that indexes a constant
+    plane tensor (array<array<array<double>>>) by table id — one scan,
+    codegen-friendly, and bit-identical to :func:`signature_expr` (same
+    seeds, same left-fold summation order)."""
+    all_planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    planes_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in plane]) for plane in tbl_planes
+        ])
+        for tbl_planes in all_planes
+    ])
+    exploded = u.select(
+        "id", "v",
+        F.explode(F.array(*[F.lit(t) for t in range(n_tables)])).alias("tbl"),
+    )
+    tplanes = F.element_at(planes_lit, F.col("tbl") + 1)
+
+    def _plane_dot(p):
+        return F.aggregate(
+            F.zip_with(F.col("v"), p, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.aggregate(
+        F.transform(
+            tplanes,
+            lambda p, i: F.when(
+                _plane_dot(p) > 0,
+                # 2^i as a column expr (shiftleft needs a literal count);
+                # exact in double for i < 53, matching signature_expr's 2**p
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return exploded.select("id", "v", "tbl", sig.alias("sig"))
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -115,19 +165,7 @@ def lsh_ann_topk(
     u = with_unit_vec(corpus, vec_col).select(
         F.col(id_col).alias("id"), F.col("_unit").alias("v")
     )
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        tables.append(
-            u.select(
-                "id", "v",
-                F.lit(t).alias("tbl"),
-                signature_expr(F.col("v"), planes).alias("sig"),
-            )
-        )
-    sigs = tables[0]
-    for t in tables[1:]:
-        sigs = sigs.unionByName(t)
+    sigs = _all_table_sigs(u, dim, n_planes, n_tables, seed)
     # dedup pairs BEFORE scoring: a pair colliding in several tables would
     # otherwise pay the dot product once per table (BENCH r1 finding)
     cand = (
@@ -181,18 +219,7 @@ def embedding_near_dup_pairs(
     u = with_unit_vec(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_unit").alias("v")
     )
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        tables.append(
-            u.select(
-                "id", "v", F.lit(t).alias("tbl"),
-                signature_expr(F.col("v"), planes).alias("sig"),
-            )
-        )
-    sigs = tables[0]
-    for t in tables[1:]:
-        sigs = sigs.unionByName(t)
+    sigs = _all_table_sigs(u, dim, n_planes, n_tables, seed)
     pairs = (
         sigs.alias("l")
         .join(sigs.alias("r"), ["tbl", "sig"])
