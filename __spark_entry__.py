@@ -311,6 +311,26 @@ def q_emb_lsh_ann(spark, sf_dir):
     )
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked: documents stand in as a media
+    table (every 3rd doc a 'video' with duration derived from n_chars);
+    frame_sample expands sampled timestamps JVM-side (sequence + explode).
+    The decode itself stays a labeled stub (no codec libs in sandbox) —
+    this verifies the fan-out semantics a frame pipeline rides on."""
+    from singer_tap_spark.ops.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        (F.col("n_chars").cast("int") * 10 + 100).alias("duration_ms"),
+    )
+    out = frame_sample(media, every_ms=700)
+    return out.withColumn("frame_ms", F.col("frame_ms").cast("long"))
+
+
 # rows-only (xxhash64-based — DuckDB cannot reproduce; pytest oracles cover):
 
 def q_docs_simhash(spark, sf_dir):
@@ -344,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -657,6 +678,13 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        """,
+        "media_frame_sample": """
+            SELECT doc_id AS media_id, CAST(u.f AS BIGINT) AS frame_ms
+            FROM documents,
+                 unnest(generate_series(0, CAST(n_chars AS INT) * 10 + 99, 700))
+                 AS u(f)
+            WHERE doc_id % 3 = 2
         """,
         # docs_simhash: xxhash64 signatures — not reproducible in DuckDB;
         # rows-only here, exact-oracle checks live in tests/test_ops_dedup.py

@@ -51,31 +51,40 @@ def main() -> None:
         dup_frac=0.02, hot_conv_frac=0.1, n_shards=8,
     )
     write_changelog(log, f"{base}/log", n_files_per_shard=max(4, cpus // 4))
-    cfg = PipelineConfig(
-        changelog_path=f"{base}/log",
-        target_path=f"{base}/tgt",
-        lineage_path=f"{base}/lineage.json",
-        n_buckets=32,
-    )
-    pipe = CDCPipeline(spark, cfg)
-    t0 = time.monotonic()
-    pipe.replay()
-    replay_s = time.monotonic() - t0
+    # best-of-2 with fresh targets: rep 1 compiles the plan (one-shot
+    # timings on this host mix in 3-10 s of JIT/codegen — BENCH/BASELINE.md
+    # notes); rep 2 measures the engine
+    replay_s = None
+    for rep in range(2):
+        cfg = PipelineConfig(
+            changelog_path=f"{base}/log",
+            target_path=f"{base}/tgt{rep}",
+            lineage_path=f"{base}/lineage{rep}.json",
+            n_buckets=32,
+        )
+        pipe = CDCPipeline(spark, cfg)
+        t0 = time.monotonic()
+        pipe.replay()
+        s = time.monotonic() - t0
+        replay_s = s if replay_s is None else min(replay_s, s)
     queries["cdc_replay"] = round(replay_s, 3)
     events_per_sec = round(n_events / replay_s, 1)
 
     # the same log through the Structured Streaming path (AvailableNow +
     # watermarked dedup + foreachBatch merge) into a fresh target
-    cfg_s = PipelineConfig(
-        changelog_path=f"{base}/log",
-        target_path=f"{base}/tgt_s",
-        lineage_path=f"{base}/lineage_s.json",
-        checkpoint_dir=f"{base}/ckpt_s",
-        n_buckets=32,
-    )
-    t0 = time.monotonic()
-    CDCPipeline(spark, cfg_s).run_streaming(available_now=True)
-    stream_s = time.monotonic() - t0
+    stream_s = None
+    for rep in range(2):
+        cfg_s = PipelineConfig(
+            changelog_path=f"{base}/log",
+            target_path=f"{base}/tgt_s{rep}",
+            lineage_path=f"{base}/lineage_s{rep}.json",
+            checkpoint_dir=f"{base}/ckpt_s{rep}",
+            n_buckets=32,
+        )
+        t0 = time.monotonic()
+        CDCPipeline(spark, cfg_s).run_streaming(available_now=True)
+        s = time.monotonic() - t0
+        stream_s = s if stream_s is None else min(stream_s, s)
     queries["cdc_replay_streaming"] = round(stream_s, 3)
     streaming_events_per_sec = round(n_events / stream_s, 1)
 
