@@ -311,6 +311,16 @@ def q_emb_lsh_ann(spark, sf_dir):
     )
 
 
+def q_sessionization_window(spark, sf_dir):
+    """The same gap-sessions via Spark's native session_window aggregation
+    (ops/sessions.py) — the batch face of the streaming session operator;
+    must agree with the lag+cumsum form AND the SQL oracle."""
+    from singer_tap_spark.ops.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev).withColumn("n_events", F.col("n_events").cast("long"))
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal plumbing, oracle-checked: documents stand in as a media
     table (every 3rd doc a 'video' with duration derived from n_chars);
@@ -365,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "emb_lsh_ann": q_emb_lsh_ann,
         "media_frame_sample": q_media_frame_sample,
+        "sessionization_window": q_sessionization_window,
     }
 
 
@@ -678,6 +689,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        """,
+        "sessionization_window": """
+            WITH gapped AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gapped
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
         """,
         "media_frame_sample": """
             SELECT doc_id AS media_id, CAST(u.f AS BIGINT) AS frame_ms
