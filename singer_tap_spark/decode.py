@@ -89,6 +89,61 @@ def normalize(
 # Singer-message envelope decoding (O20) — raw JSON-lines change feed.
 # ---------------------------------------------------------------------------
 
+def _spark_type_for(prop: dict) -> T.DataType:
+    """JSON-Schema property -> Spark type: the §1.2 table forward
+    (getJsonSchemaType's output read back; catalog._prop_for in reverse)."""
+    if prop.get("format") == "date-time":
+        return T.TimestampType()
+    types = [t for t in prop.get("type", ["string"]) if t != "null"] or ["string"]
+    return {
+        "integer": T.LongType(),
+        "number": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        "string": T.StringType(),
+    }.get(types[0], T.StringType())
+
+
+def schema_from_singer_messages(spark, path: str) -> T.StructType:
+    """Derive the record schema from the stream's own SCHEMA messages —
+    http-tap re-latches its parser on every SCHEMA line (http-tap/main.go
+    :64-78); here all SCHEMA lines are folded (add-column / int->long
+    widening via evolve_schema) into one read schema, so a log that evolved
+    mid-stream self-describes and ``jsonl_schema`` config is optional.
+
+    Cost: one coarse-filtered pass over the text log collecting only the
+    (rare) SCHEMA lines; at production scale prefer the catalog's schema.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as _F
+
+    from singer_tap_spark.evolve import evolve_schema
+
+    rows = (
+        spark.read.text(path)
+        .where(_F.col("value").contains('"SCHEMA"'))
+        .collect()
+    )
+    folded: T.StructType | None = None
+    for r in rows:
+        try:
+            doc = _json.loads(r["value"])
+        except ValueError:
+            continue
+        if doc.get("type") != "SCHEMA":
+            continue
+        props = (doc.get("schema") or {}).get("properties", {})
+        if not props:
+            continue
+        s = T.StructType(
+            [T.StructField(n, _spark_type_for(p), True) for n, p in props.items()]
+        )
+        folded = s if folded is None else evolve_schema(folded, s)[0]
+    if folded is None:
+        raise ValueError(f"no SCHEMA messages found in {path}")
+    return folded
+
+
 def decode_json_changes(raw: DataFrame, payload_schema: T.StructType) -> DataFrame:
     """Parse a DataFrame of raw JSON lines (column ``value``) into typed
     change events — ``parseInput``'s RECORD branch (http-tap/main.go:98-126)

@@ -1,9 +1,16 @@
 """spark-submit entrypoint — the sync/discover CLI (singer-tap main analogue).
 
-Usage (cluster):
+PATHS: the default ParquetLakeTable sink and the JSON lineage store commit
+via LOCAL-filesystem renames (os.rename/shutil) — changelog/checkpoint may
+be any Hadoop-FS URI, but --target/--lineage must be local (or NFS) paths.
+For object storage (s3://…) use the Iceberg sink (IcebergLakeTable, MERGE
+INTO; requires iceberg-spark-runtime + a catalog), whose commits are
+catalog-atomic — that is the intended cluster deployment.
+
+Usage (cluster, Iceberg path wired in code; CLI drives the parquet sink):
     spark-submit --py-files singer_tap_spark.zip -m singer_tap_spark.job \\
-        sync --changelog s3://…/log --target s3://…/table \\
-             --lineage s3://…/lineage.json --checkpoint s3://…/ckpt --streaming
+        sync --changelog hdfs://…/log --target /mnt/lake/table \\
+             --lineage /mnt/lake/lineage.json --checkpoint /mnt/ckpt --streaming
 
     python -m singer_tap_spark.job discover --root /data/lake --out catalog.json
     python -m singer_tap_spark.job bench-replay --events 2000000 --cpus 8
@@ -51,6 +58,7 @@ def _sync(args) -> None:
         sink_mode=args.sink_mode,
         property_specs=specs,
         tinyint_as_boolean=args.tinyint_as_boolean,
+        max_records_per_file=args.max_records_per_file,
     )
     p = CDCPipeline(spark, cfg)
     if args.delta_feed:
@@ -174,6 +182,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--columns", default=None, help="comma-separated payload selection")
     s.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     s.add_argument("--sink-mode", choices=["cow", "mor"], default="cow")
+    s.add_argument(
+        "--max-records-per-file", type=int, default=0,
+        help="cap rows per parquet file at the sink (O15 size-capped "
+             "batches; 0 = Spark's own file sizing)",
+    )
     s.add_argument(
         "--delta-feed", default=None, metavar="PATH",
         help="streaming head: write the stateful per-key UPSERT/DELETE "

@@ -85,6 +85,7 @@ class ParquetLakeTable(LakeTable):
         bucket_key: str = "conv_id",
         n_buckets: int = 16,
         mode: str = "cow",
+        max_records_per_file: int = 0,
     ) -> None:
         """``mode``: 'cow' (default) rewrites touched buckets per merge —
         best read latency, merge cost O(touched buckets).  'mor'
@@ -93,6 +94,10 @@ class ParquetLakeTable(LakeTable):
         LWW over base+deltas and :meth:`compact` folds deltas into the base
         (Iceberg's copy-on-write vs merge-on-read duality)."""
         assert mode in ("cow", "mor")
+        # O15 size-capped batches: the reference splits sink batches at
+        # 1000 objects / 2 MB (http_record_writer.go:17-26); here the cap is
+        # rows-per-parquet-file at the sink (0 = Spark's own file sizing)
+        self.max_records_per_file = max_records_per_file
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = list(key_cols)
@@ -259,6 +264,7 @@ class ParquetLakeTable(LakeTable):
             (
                 out.hint("rebalance", BUCKET_COL)
                 .write.mode("append")
+                .option("maxRecordsPerFile", self.max_records_per_file)
                 .partitionBy(BUCKET_COL)
                 .parquet(self._delta)
             )
@@ -320,7 +326,12 @@ class ParquetLakeTable(LakeTable):
             if e.startswith("_staging-"):
                 shutil.rmtree(f"{self.path}/{e}", ignore_errors=True)
         staging = f"{self.path}/_staging-{batch_id}"
-        final.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        (
+            final.write.mode("overwrite")
+            .option("maxRecordsPerFile", self.max_records_per_file)
+            .partitionBy(BUCKET_COL)
+            .parquet(staging)
+        )
 
         present = {
             int(e.split("=", 1)[1])
@@ -376,6 +387,7 @@ class ParquetLakeTable(LakeTable):
         (
             df.repartition(self.n_buckets, BUCKET_COL)
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", self.max_records_per_file)
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )

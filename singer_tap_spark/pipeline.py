@@ -65,6 +65,9 @@ class PipelineConfig:
     # streaming pacing: files per micro-batch (the reference's batch-size
     # knob, http_record_writer.go:17-26 analogue); r1 hardcoded 64
     max_files_per_trigger: int = 64
+    # O15 size-capped sink batches: rows per parquet file at the target
+    # (0 = Spark's own sizing) — the 1000-object/2MB split analogue
+    max_records_per_file: int = 0
 
 
 class CDCPipeline:
@@ -78,6 +81,7 @@ class CDCPipeline:
             bucket_key=cfg.key_cols[0],
             n_buckets=cfg.n_buckets,
             mode=cfg.sink_mode,
+            max_records_per_file=cfg.max_records_per_file,
         )
         self.metrics = RunMetrics()
 
@@ -167,6 +171,17 @@ class CDCPipeline:
         from singer_tap_spark.changelog import CHANGE_SCHEMA
 
         schema = self.cfg.jsonl_schema or CHANGE_SCHEMA
+        if schema == "from_schema_messages":
+            # self-describing wire: fold the log's own SCHEMA lines
+            # (http-tap/main.go:64-78 re-latch semantics), cached per
+            # pipeline so streaming micro-batches don't re-scan
+            if getattr(self, "_wire_schema", None) is None:
+                from singer_tap_spark.decode import schema_from_singer_messages
+
+                self._wire_schema = schema_from_singer_messages(
+                    self.spark, self.cfg.changelog_path
+                )
+            schema = self._wire_schema
         envelope = T.StructType(
             [
                 T.StructField("type", T.StringType()),

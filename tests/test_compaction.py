@@ -68,3 +68,32 @@ def test_stray_staging_dir_cleaned(spark, tmp_path):
     got = p.lake.read().select("conv_id", "turn_idx", "text").toPandas()
     want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))[["conv_id", "turn_idx", "text"]]
     assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_max_records_per_file_caps_sink_files(spark, tmp_path):
+    """O15 size-capped batches: every parquet file the sink writes holds at
+    most the configured row count (the 1000-object batch-split analogue)."""
+    import pyarrow.parquet as pq
+    import os
+
+    from singer_tap_spark import CDCPipeline, PipelineConfig
+    from singer_tap_spark.changelog import generate_changelog, write_changelog
+
+    base = str(tmp_path)
+    write_changelog(generate_changelog(spark, 5000), f"{base}/log")
+    cfg = PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lineage.json",
+        n_buckets=4,
+        max_records_per_file=200,
+    )
+    p = CDCPipeline(spark, cfg)
+    p.replay()
+    counts = []
+    for root, _, files in os.walk(f"{base}/tgt/data"):
+        for f in files:
+            if f.endswith(".parquet"):
+                counts.append(pq.ParquetFile(os.path.join(root, f)).metadata.num_rows)
+    assert counts and max(counts) <= 200
+    assert sum(counts) == p.lake.read().count()
