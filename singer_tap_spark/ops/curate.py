@@ -36,10 +36,16 @@ def curate(
     min_tokens: int = 5,
     languages: tuple[str, ...] | None = None,
     near_dup_jaccard: float | None = None,
+    near_dup_hamming: int | None = None,
 ) -> DataFrame:
     """Curated corpus: annotated, filtered, exact-deduped (and optionally
     near-deduped).  Output keeps the original columns plus
-    (n_tokens, quality, lang_pred, fingerprint)."""
+    (n_tokens, quality, lang_pred, fingerprint).
+
+    Near-dup removal, lower id survives each pair: ``near_dup_jaccard``
+    routes through MinHash-LSH + candidates-only exact-Jaccard verify;
+    ``near_dup_hamming`` routes through SimHash chunk-join pairs (cheaper —
+    one signature pass, no shingle explode — coarser)."""
     t = F.col(text_col)
     annotated = docs.select(
         "*",
@@ -62,6 +68,14 @@ def curate(
         pairs = minhash_lsh_candidates(
             out, text_col=text_col, id_col=id_col,
             verify_threshold=near_dup_jaccard,
+        )
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        out = out.join(losers, id_col, "left_anti")
+    if near_dup_hamming is not None:
+        from singer_tap_spark.ops.dedup_text import simhash_near_dup_pairs
+
+        pairs = simhash_near_dup_pairs(
+            out, text_col=text_col, id_col=id_col, max_hamming=near_dup_hamming
         )
         losers = pairs.select(F.col("b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")

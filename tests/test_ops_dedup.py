@@ -179,3 +179,19 @@ def test_ngram_jaccard_symmetric_bounds(spark, docs):
     bad = pairs.where((F.col("jaccard") < 0.2) | (F.col("jaccard") > 1.0))
     assert bad.count() == 0
     assert pairs.where(F.col("a") >= F.col("b")).count() == 0  # ordered pairs
+
+
+def test_curate_near_dup_paths_remove_planted(spark, docs):
+    """Both near-dup routes in curate (MinHash-LSH verified, SimHash
+    chunk-join) must drop the planted higher-id exact duplicates and keep
+    the originals."""
+    from singer_tap_spark.ops.curate import curate
+
+    corpus = _planted(docs)
+    for kw in ({"near_dup_jaccard": 0.8}, {"near_dup_hamming": 0}):
+        out = curate(corpus, min_quality=0.0, min_tokens=0, **kw)
+        ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert not any(i >= 100000 for i in ids), kw  # planted copies gone
+        survivors = {i for i in ids if i < 50}
+        assert survivors == set(range(50)) & survivors  # originals kept
+        assert len(survivors) > 0
