@@ -25,5 +25,6 @@ from singer_tap_spark.ops.dedup_text import (  # noqa: F401
 from singer_tap_spark.ops.similarity import (  # noqa: F401
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_ann_topk,
     lsh_ann_topk,
 )

@@ -191,6 +191,120 @@ def lsh_ann_topk(
     )
 
 
+def _kmeans_centroids(
+    u: DataFrame, n_centroids: int, n_iter: int = 4
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over unit vectors (cosine distance).
+
+    Init = the first ``n_centroids`` vectors in id order (seeded data =>
+    deterministic); each iteration is ONE Spark job (assign via an argmin
+    expression over centroid literals, update via posexplode + per-(cluster,
+    dim) mean); centroids re-normalized driver-side.  k and dim are small —
+    the collect is k x dim floats.  Empty clusters keep their centroid.
+    """
+    cents = [list(r["v"]) for r in u.orderBy("id").limit(n_centroids).collect()]
+    for _ in range(n_iter):
+        best = _nearest_centroid(cents)
+        # two selects: a generator (posexplode) in the same projection as
+        # the argmin struct access trips a Catalyst field-resolution quirk
+        asg = u.select(best.alias("c"), "v")
+        means = (
+            asg.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        new = []
+        for i, old in enumerate(cents):
+            if i in by_c:
+                vec = np.array([by_c[i][p] for p in range(len(old))])
+                nrm = float(np.linalg.norm(vec))
+                new.append((vec / nrm).tolist() if nrm > 0 else old)
+            else:
+                new.append(old)  # empty cluster: keep
+        cents = new
+    return cents
+
+
+def _nearest_centroid(cents: list[list[float]]) -> F.Column:
+    """argmin over centroid literals (cosine distance on unit vectors);
+    ties break on centroid index — deterministic."""
+    dists = [
+        F.struct(
+            (F.lit(1.0) - _dot("v", F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    return F.array_min(F.array(*dists))["i"]
+
+
+def _probed_centroids(cents: list[list[float]], n_probe: int) -> F.Column:
+    """The n_probe nearest centroid ids, as an array (lexicographic
+    array_sort on (distance, id) structs — deterministic)."""
+    dists = [
+        F.struct(
+            (F.lit(1.0) - _dot("v", F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    return F.transform(
+        F.slice(F.array_sort(F.array(*dists)), 1, n_probe), lambda s: s["i"]
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 4,
+) -> DataFrame:
+    """IVF approximate all-pairs cosine top-k — the inverted-file scale
+    path next to :func:`lsh_ann_topk`: k-means coarse quantizer, each
+    vector filed under its nearest centroid, each query scanning only its
+    ``n_probe`` nearest lists.
+
+    One equi-join on the centroid id (lists average corpus/n_centroids;
+    at 10^9 vectors raise n_centroids ~ sqrt(n) so list scans stay flat),
+    exact cosine inside probed lists, no pair dedup needed (a target lives
+    in exactly one list).  Deterministic end-to-end: seeded data, id-order
+    init, argmin/array_sort tie-breaks on index.
+    Output: (query_id, neighbor_id, cos_sim, rank).
+    """
+    u = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_unit").alias("v")
+    )
+    cents = _kmeans_centroids(u, n_centroids, n_iter)
+    lists = u.select("id", "v", _nearest_centroid(cents).alias("c"))
+    probes = u.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(_probed_centroids(cents, n_probe)).alias("c"),
+    )
+    scored = (
+        probes.join(lists, "c")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(_dot("qv", "v"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,

@@ -195,3 +195,41 @@ def test_curate_near_dup_paths_remove_planted(spark, docs):
         survivors = {i for i in ids if i < 50}
         assert survivors == set(range(50)) & survivors  # originals kept
         assert len(survivors) > 0
+
+
+def test_ivf_probe_all_lists_equals_brute_force(spark, emb):
+    """IVF machinery anchor: probing every list IS the exhaustive search —
+    results must equal brute force exactly (quantizer, list assignment,
+    scoring and ranking all correct)."""
+    from singer_tap_spark.ops.similarity import ivf_ann_topk
+
+    corpus = emb.where(F.col("vec_id") < 120)
+    truth = {tuple(r) for r in brute_force_topk(corpus, corpus, k=5).collect()}
+    full = {tuple(r) for r in
+            ivf_ann_topk(corpus, k=5, n_centroids=8, n_probe=8).collect()}
+    assert full == truth
+
+
+def test_ivf_recall_grows_with_probes(spark, emb):
+    from singer_tap_spark.ops.similarity import ivf_ann_topk
+
+    corpus = emb.where(F.col("vec_id") < 120)
+    truth = {tuple(r) for r in brute_force_topk(corpus, corpus, k=5).collect()}
+
+    def recall(n_probe):
+        got = {tuple(r) for r in
+               ivf_ann_topk(corpus, k=5, n_centroids=8, n_probe=n_probe).collect()}
+        return len(got & truth) / len(truth)
+
+    r2, r6 = recall(2), recall(6)
+    assert r2 < r6 <= 1.0
+    assert r6 >= 0.6
+
+
+def test_ivf_deterministic_across_parallelism(spark, emb):
+    from singer_tap_spark.ops.similarity import ivf_ann_topk
+
+    corpus = emb.where(F.col("vec_id") < 100)
+    a = {tuple(r) for r in ivf_ann_topk(corpus, n_probe=3).collect()}
+    b = {tuple(r) for r in ivf_ann_topk(corpus.repartition(7), n_probe=3).collect()}
+    assert a == b
