@@ -38,9 +38,15 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.monotonic()
-        fn()
-        queries[name] = round(time.monotonic() - t0, 3)
+        # best-of-2: first pass compiles the plan (JIT/codegen noise swings
+        # one-shots ±30% on this host), second measures the engine
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            s = time.monotonic() - t0
+            best = s if best is None else min(best, s)
+        queries[name] = round(best, 3)
 
     # --- end-to-end CDC replay (the headline): events scaled to sf ---------
     n_events = max(100_000, int(sf * 20_000_000))
@@ -72,8 +78,10 @@ def main() -> None:
 
     # the same log through the Structured Streaming path (AvailableNow +
     # watermarked dedup + foreachBatch merge) into a fresh target
+    # three reps: the streaming plan (state store + watermark dedup +
+    # foreachBatch) JIT-converges slower than the batch path
     stream_s = None
-    for rep in range(2):
+    for rep in range(3):
         cfg_s = PipelineConfig(
             changelog_path=f"{base}/log",
             target_path=f"{base}/tgt_s{rep}",
