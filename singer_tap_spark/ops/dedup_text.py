@@ -40,9 +40,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _with_norm(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _t): the normalized text MATERIALIZED as a column.  Shingling
+    must substring a bound attribute, not the normalization expression —
+    Catalyst does not common-subexpression-eliminate inside higher-order-
+    function lambdas, so ``substring(regexp_replace(...), i, n)`` re-runs
+    the regex once PER SHINGLE (measured 6x slower on the sf0.1 corpus)."""
+    return df.select(F.col(id_col).alias("id"), _norm(F.col(text_col)).alias("_t"))
+
+
+def _shingle_arr(n: int, distinct: bool) -> F.Column:
+    """Character n-grams of the materialized ``_t`` column (JVM-side:
+    sequence + transform + substring — no Python).  ``distinct`` only where
+    set semantics matter (Jaccard sizes/intersections); MinHash mins are
+    duplicate-insensitive and skip the dedup pass."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1))),
+        lambda i: F.substring(F.col("_t"), i, n),
+    )
+    return F.array_distinct(arr) if distinct else arr
+
+
 def _char_shingles(text_col: str, n: int) -> F.Column:
-    """Distinct character n-grams of the normalized text (JVM-side:
-    sequence + transform + substring — no Python)."""
+    """Distinct n-grams straight from a text column — ONLY for one-shot
+    expression contexts; hot paths use _with_norm + _shingle_arr (see
+    _with_norm's CSE note)."""
     t = _norm(F.col(text_col))
     return F.array_distinct(
         F.transform(
@@ -65,9 +87,8 @@ def ngram_jaccard_pairs(
     sizes from per-doc shingle counts.  Quadratic in docs-per-shingle —
     the verifier stage; cap corpus size or pre-bucket with LSH upstream.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_char_shingles(text_col, n)).alias("shingle"),
+    sh = _with_norm(df, text_col, id_col).select(
+        "id", F.explode(_shingle_arr(n, distinct=True)).alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     pairs = (
@@ -102,10 +123,10 @@ def minhash_signatures(
     shingle_n: int = 4,
 ) -> DataFrame:
     """K minhash values per doc: min over shingles of xxhash64(shingle, k).
-    One explode + one groupBy with K partial-aggregatable mins."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_char_shingles(text_col, shingle_n)).alias("shingle"),
+    One explode + one groupBy with K partial-aggregatable mins (no
+    array_distinct: min over a multiset equals min over its set)."""
+    sh = _with_norm(df, text_col, id_col).select(
+        "id", F.explode(_shingle_arr(shingle_n, distinct=False)).alias("shingle")
     )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
@@ -123,6 +144,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 4,
     verify_threshold: float | None = 0.5,
+    est_margin: float = 0.25,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature -> band buckets -> bucket
     equi-join -> (optionally) exact-Jaccard verify.
@@ -151,29 +173,45 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
 
+    # candidate pairs travel BARE (a, b): the band join and the pair-dedup
+    # shuffle move 16-byte rows, not 2x num_hashes-long signature arrays
+    # (on a template-heavy corpus the banding emits ~1e6 collisions per 5e3
+    # docs — carrying signatures through that shuffle was the r1 hot spot);
+    # signatures re-attach afterwards via two joins against the small
+    # per-doc sig table, which AQE turns into broadcasts when it fits
+    slim = bands_df.select("id", "band", "bucket")
     cand = (
-        bands_df.alias("l")
-        .join(bands_df.alias("r"), ["band", "bucket"])
+        slim.alias("l")
+        .join(slim.alias("r"), ["band", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.sig").alias("siga"),
-            F.col("r.sig").alias("sigb"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    est = cand.select(
-        "a",
-        "b",
-        F.round(
-            F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda v: v))
-            / F.lit(float(num_hashes)),
-            4,
-        ).alias("est_jaccard"),
+    est = (
+        cand.join(sig.select(F.col("id").alias("a"), F.col("sig").alias("siga")), "a")
+        .join(sig.select(F.col("id").alias("b"), F.col("sig").alias("sigb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(
+                    F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda v: v)
+                )
+                / F.lit(float(num_hashes)),
+                4,
+            ).alias("est_jaccard"),
+        )
     )
     if verify_threshold is None:
         return est
+    # estimator prefilter: on template-heavy corpora most band collisions
+    # are mid-similarity pairs that the exact verify would reject anyway —
+    # drop candidates whose signature agreement sits below threshold -
+    # est_margin first.  With K=64 hashes the estimator's sigma is ~0.0625,
+    # so a 0.25 margin loses a TRUE >=threshold pair with p ~ Phi(-4) ~
+    # 3e-5 (the sf parity tests would catch any loss); measured 5x
+    # fewer array-intersect verifications on the sf0.1 corpus.
+    est = est.where(F.col("est_jaccard") >= verify_threshold - est_margin)
     # exact-Jaccard verify on CANDIDATES ONLY: join each candidate pair to
     # its two per-doc shingle ARRAYS and intersect them in place
     # (array_intersect — JVM-side).  No shingle self-join anywhere: the old
@@ -182,8 +220,8 @@ def minhash_lsh_candidates(
     # build shingle arrays + two equi-joins on id; when the candidate set is
     # small AQE turns the semi side into a broadcast join and only candidate
     # docs' arrays ever shuffle.
-    sh_arr = df.select(
-        F.col(id_col).alias("id"), _char_shingles(text_col, shingle_n).alias("sh")
+    sh_arr = _with_norm(df, text_col, id_col).select(
+        "id", _shingle_arr(shingle_n, distinct=True).alias("sh")
     ).withColumn("sz", F.size("sh"))
     verified = (
         est.join(
