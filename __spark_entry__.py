@@ -201,7 +201,9 @@ def q_emb_near_dup_pairs(spark, sf_dir):
     from singer_tap_spark.ops.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    return embedding_near_dup_pairs(emb, threshold=0.35)
+    # pinned settings (production default auto-scales n_planes with corpus
+    # size; that would change recall with sf and break the exact oracle)
+    return embedding_near_dup_pairs(emb, threshold=0.35, n_planes=2, n_tables=16)
 
 
 def q_docs_quality_topk(spark, sf_dir):
@@ -251,6 +253,10 @@ def q_sessionization(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # strict > gap starts a new session — MEASURED to match Spark's native
+    # session_window, which merges windows that merely touch (an event
+    # exactly gap after its predecessor stays in the SAME session; see
+    # tests/test_sessions.py::test_session_window_exact_gap_boundary).
     gapped = ev.withColumn(
         "_new",
         F.when(

@@ -94,7 +94,11 @@ def _spark_type_for(prop: dict) -> T.DataType:
     (getJsonSchemaType's output read back; catalog._prop_for in reverse)."""
     if prop.get("format") == "date-time":
         return T.TimestampType()
-    types = [t for t in prop.get("type", ["string"]) if t != "null"] or ["string"]
+    # JSON-Schema allows both "type": ["null","integer"] and the scalar
+    # form "type": "integer" (common in external Singer taps) — iterating
+    # a bare string char-by-char would silently fall through to string
+    t = prop.get("type", ["string"])
+    types = [x for x in ([t] if isinstance(t, str) else t) if x != "null"] or ["string"]
     return {
         "integer": T.LongType(),
         "number": T.DoubleType(),

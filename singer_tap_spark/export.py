@@ -121,7 +121,17 @@ def pack_sequences(
         pdf["_local_bin"] = bins
         return pdf
 
-    packed = bucketed.groupBy("_rng").applyInPandas(_pack, out_schema)
+    # persist: the packing stage is consumed TWICE — once by the bin-count
+    # collect below, again when the caller evaluates the returned frame.
+    # Without it the sequential next-fit fold runs twice over the whole
+    # corpus (ADVICE r2).  MEMORY_AND_DISK: spills instead of recomputing.
+    from pyspark import StorageLevel
+
+    packed = (
+        bucketed.groupBy("_rng")
+        .applyInPandas(_pack, out_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # per-range bin counts -> global prefix offsets (n_ranges rows)
     counts = {

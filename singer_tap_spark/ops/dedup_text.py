@@ -298,15 +298,31 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidate generation by 16-bit-chunk
-    equi-join (pigeonhole: hamming<=3 over 4 chunks implies at least one
-    chunk equal), exact hamming verify via ``bit_count(xor)``.
+    """SimHash near-dup pairs: candidate generation by bit-chunk equi-join
+    (pigeonhole: hamming <= H over H+1 chunks implies at least one chunk
+    equal), exact hamming verify via ``bit_count(xor)``.
+
+    The chunk count is DERIVED from ``max_hamming`` — H+1 chunks over the
+    63 usable hash bits (default H=3 -> the classic 4x~16-bit split).  A
+    fixed 4-chunk split would silently drop true pairs whose differing bits
+    span all four chunks for any H > 3 (ADVICE r2).  H > 14 would need
+    chunks under 4 bits (buckets of <16 values -> quadratic within-bucket
+    pairing) and raises.
 
     Output: (a, b, hamming) with a < b, hamming <= ``max_hamming``.
     Scale shape: the join is an EQUI-join on (chunk_idx, chunk_value) — one
-    shuffle on uniform 16-bit buckets, never a cross product; the verify is
+    shuffle on uniform chunk buckets, never a cross product; the verify is
     a per-pair bit op.  The same discovery-vs-verify split as MinHash-LSH.
     """
+    if not 0 <= max_hamming <= 14:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range: pigeonhole needs "
+            "max_hamming+1 chunks over 63 bits and chunks under 4 bits "
+            "degenerate; use 0 <= max_hamming <= 14 (or MinHash-LSH for "
+            "looser similarity)"
+        )
+    n_chunks = max_hamming + 1
+    width = 63 // n_chunks  # last chunk absorbs the remainder bits
     sig = simhash(df, text_col, id_col)
     chunks = sig.select(
         "id",
@@ -315,9 +331,13 @@ def simhash_near_dup_pairs(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("ci"),
-                    F.col(f"chunk{c}").alias("cv"),
+                    F.shiftright(F.col("simhash"), c * width)
+                    .bitwiseAND(
+                        F.lit((1 << (63 - c * width if c == n_chunks - 1 else width)) - 1)
+                    )
+                    .alias("cv"),
                 )
-                for c in range(4)
+                for c in range(n_chunks)
             ])
         ).alias("ch"),
     ).select("id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))

@@ -78,7 +78,8 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 def _stub_feature(content: bytes, dim: int) -> np.ndarray:
     """STUB decode: a deterministic unit vector from the payload digest.
-    Replace with a real decode+model when codec libs are available."""
+    The fallback when no codec lib is importable or the payload doesn't
+    decode as an image."""
     h = hashlib.sha256(content).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     v = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
@@ -86,27 +87,63 @@ def _stub_feature(content: bytes, dim: int) -> np.ndarray:
     return (v / n).astype(np.float32)
 
 
+def _pil_feature(content: bytes, dim: int) -> np.ndarray | None:
+    """Real decode (PIL present): decode -> grayscale -> resample to a
+    dim x 1 strip (bilinear, deterministic) -> centered unit vector of the
+    pixel intensities — a public, dependency-light downsampled-pixel
+    feature.  Returns None when the payload isn't a decodable image (the
+    caller falls back to the stub and labels the row ``decoder='stub'``)."""
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(content))
+        img = img.convert("L").resize((dim, 1), Image.BILINEAR)
+    except Exception:
+        return None
+    v = np.asarray(img, dtype=np.float64).reshape(-1)[:dim] / 255.0
+    v = v - v.mean()
+    n = np.linalg.norm(v)
+    if n == 0:  # constant image: fall back to a fixed basis vector
+        v = np.zeros(dim)
+        v[0] = 1.0
+        n = 1.0
+    return (v / n).astype(np.float32)
+
+
 def extract_features(df: DataFrame, dim: int = 32) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches, iterator
-    contract — one batch in flight per task).  Real decode requires codec
-    libs; otherwise the stub path runs and is labeled ``decoder='stub'``."""
+    contract — one batch in flight per task).
+
+    Per-row routing (never raises on the PRESENCE of a dependency —
+    VERDICT r2 #4): with PIL importable, decodable image payloads take the
+    real downsampled-pixel path (``decoder='real'``); undecodable payloads
+    and PIL-less environments take the deterministic digest stub
+    (``decoder='stub'``).  The ``decoder`` column always reflects the path
+    actually taken."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode goes here (PIL present); wire the model"
-                )
-            feats = [
-                _stub_feature(bytes(c), dim) if c is not None else None
-                for c in pdf["content"]
-            ]
+            feats: list[np.ndarray | None] = []
+            decoders: list[str] = []
+            for c in pdf["content"]:
+                if c is None:
+                    feats.append(None)
+                    decoders.append("stub")
+                    continue
+                raw = bytes(c)
+                v = _pil_feature(raw, dim) if _HAVE_PIL else None
+                if v is not None:
+                    feats.append(v)
+                    decoders.append("real")
+                else:
+                    feats.append(_stub_feature(raw, dim))
+                    decoders.append("stub")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feature": feats,
-                    "decoder": "stub",
+                    "decoder": decoders,
                 }
             )
 

@@ -11,8 +11,12 @@ Two equivalent shapes:
   — same semantics, emits an explicit per-user session_id; kept as the
   oracle-shaped twin.
 
-Both start a new session when an event arrives more than ``gap`` after the
-previous one (chained gap, not fixed windows).
+Both start a new session when an event arrives STRICTLY more than ``gap``
+after the previous one (chained gap, not fixed windows).  Boundary semantics
+are measured, not assumed: ``session_window`` merges windows that merely
+touch, so an event landing exactly ``gap`` later stays in the SAME session —
+identical to the lag+cumsum twin's ``> gap`` test and the DuckDB oracles
+(pinned by tests/test_sessions.py::test_session_window_exact_gap_boundary).
 """
 
 from __future__ import annotations

@@ -166,19 +166,26 @@ def lsh_ann_topk(
         F.col(id_col).alias("id"), F.col("_unit").alias("v")
     )
     sigs = _all_table_sigs(u, dim, n_planes, n_tables, seed)
-    # dedup pairs BEFORE scoring: a pair colliding in several tables would
-    # otherwise pay the dot product once per table (BENCH r1 finding)
+    # candidate pairs travel BARE (query_id, neighbor_id): at dim 512-4096
+    # a unit vector is KBs, and a pair colliding in several tables would
+    # drag two of them through the bucket join AND the pair-dedup shuffle
+    # once per collision.  Slim ids shuffle in 16-byte rows; unit vectors
+    # re-attach afterwards via two equi-joins against the per-id vector
+    # table (AQE broadcasts it when it fits), so each vector is read once
+    # per SURVIVING pair, not once per table collision — the same shape
+    # minhash_lsh_candidates ships (dedup_text.py:176-191).
+    slim = sigs.select("id", "tbl", "sig")
     cand = (
-        sigs.alias("l")
-        .join(sigs.alias("r"), ["tbl", "sig"])
+        slim.alias("l")
+        .join(slim.alias("r"), ["tbl", "sig"])
         .where(F.col("l.id") != F.col("r.id"))
         .select(
             F.col("l.id").alias("query_id"),
             F.col("r.id").alias("neighbor_id"),
-            F.col("l.v").alias("qv"),
-            F.col("r.v").alias("nv"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(u.select(F.col("id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(u.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv")), "neighbor_id")
         .select(
             "query_id", "neighbor_id", F.round(_dot("qv", "nv"), 6).alias("cos_sim")
         )
@@ -310,9 +317,10 @@ def embedding_near_dup_pairs(
     threshold: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 2,
+    n_planes: int | None = None,
     n_tables: int = 16,
     seed: int = 42,
+    target_bucket_size: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos_sim >= threshold) via
     LSH buckets — the scale path for the dedup family's embedding variant.
@@ -321,30 +329,37 @@ def embedding_near_dup_pairs(
     rows built); this routes discovery through ``n_tables`` random-
     hyperplane tables (bucket EQUI-join, one shuffle on uniform signatures)
     and scores each surviving pair exactly, once (dedup before scoring).
+    Candidate pairs shuffle BARE (a, b); unit vectors re-join after the
+    dedup (see lsh_ann_topk — same slim-pair shape).
 
-    Recall is probabilistic: P(pair at angle θ survives) =
-    ``1-(1-(1-θ/π)^n_planes)^n_tables``.  The defaults (2 planes × 16
-    tables) give miss-probability ~5e-4 per pair at cos=0.35 — measured
-    exact parity vs brute force on the test corpora (pytest enforces it);
-    raise planes (smaller buckets) as the corpus grows, add tables to win
-    recall back.
+    ``n_planes`` defaults to ``log2(n / target_bucket_size)`` — buckets
+    stay ~target_bucket_size as the corpus grows instead of n/2^planes
+    going quadratic (the r2 fixed default of 2 planes meant n/4-sized
+    buckets at any n).  Recall is probabilistic: P(pair at angle θ
+    survives) = ``1-(1-(1-θ/π)^n_planes)^n_tables`` — add tables to win
+    back what extra planes cost.  Driver/bench entries pin planes=2,
+    tables=16: measured exact parity vs brute force on the test corpora
+    (pytest enforces it).
     """
+    if n_planes is None:
+        import math
+
+        n = df.count()
+        n_planes = max(2, int(math.log2(max(n / target_bucket_size, 4))))
     dim = len(df.select(vec_col).first()[0])
     u = with_unit_vec(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_unit").alias("v")
     )
     sigs = _all_table_sigs(u, dim, n_planes, n_tables, seed)
+    slim = sigs.select("id", "tbl", "sig")
     pairs = (
-        sigs.alias("l")
-        .join(sigs.alias("r"), ["tbl", "sig"])
+        slim.alias("l")
+        .join(slim.alias("r"), ["tbl", "sig"])
         .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])  # score each candidate pair exactly once
+        .join(u.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(u.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
     )
     return (
         pairs.select("a", "b", F.round(_dot("va", "vb"), 6).alias("cos_sim"))

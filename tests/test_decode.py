@@ -151,3 +151,17 @@ def test_normalize_wired_into_jsonl_replay(spark, tmp_path):
     got = got.sort_values(keys).reset_index(drop=True)
     want = want[got.columns.tolist()].sort_values(keys).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_spark_type_for_scalar_json_schema_type():
+    """JSON-Schema's scalar form ("type": "integer") must map like the
+    list form — external Singer taps commonly emit it (ADVICE r2)."""
+    from pyspark.sql import types as T
+
+    from singer_tap_spark.decode import _spark_type_for
+
+    assert _spark_type_for({"type": "integer"}) == T.LongType()
+    assert _spark_type_for({"type": "number"}) == T.DoubleType()
+    assert _spark_type_for({"type": ["null", "integer"]}) == T.LongType()
+    assert _spark_type_for({"type": "null"}) == T.StringType()
+    assert _spark_type_for({"type": "string", "format": "date-time"}) == T.TimestampType()

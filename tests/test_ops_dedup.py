@@ -91,13 +91,14 @@ def test_minhash_verified_equals_exact_join(spark, docs):
 
 def test_embedding_near_dup_equals_brute_force(spark, emb):
     """Same guarantee for the embedding variant: LSH-bucketed discovery at
-    the default (2 planes x 16 tables) recovers EVERY pair with
-    cos >= 0.35 on this corpus."""
+    the driver-pinned settings (2 planes x 16 tables) recovers EVERY pair
+    with cos >= 0.35 on this corpus."""
     from singer_tap_spark.ops.similarity import _dot, with_unit_vec
 
     e = emb.where(F.col("vec_id") < 150)
     got = {(r.a, r.b, r.cos_sim) for r in
-           embedding_near_dup_pairs(e, threshold=0.35).collect()}
+           embedding_near_dup_pairs(e, threshold=0.35,
+                                    n_planes=2, n_tables=16).collect()}
     u = with_unit_vec(e).select(F.col("vec_id").alias("id"), F.col("_unit").alias("v"))
     brute = {(r.a, r.b, r.cos_sim) for r in (
         u.alias("l").join(u.alias("r"), F.col("l.id") < F.col("r.id"))
@@ -117,6 +118,36 @@ def test_simhash_pairs_find_planted_dups(spark, docs):
     assert planted <= got
     zero = out.where((F.col("b") - F.col("a")) == 100000)
     assert zero.where(F.col("hamming") != 0).count() == 0
+
+
+def test_simhash_pairs_chunk_count_follows_max_hamming(spark, docs):
+    """ADVICE r2: hamming <= H needs H+1 pigeonhole chunks.  At H=5 the
+    discovery join must run on 6 chunk buckets (visible as 6 struct
+    entries in the explode), and out-of-range H raises."""
+    import pytest
+
+    d = _planted(docs.where(F.col("doc_id") < 300))
+    out5 = simhash_near_dup_pairs(d, max_hamming=5)
+    got3 = {(r.a, r.b) for r in simhash_near_dup_pairs(d, max_hamming=3).collect()}
+    got5 = {(r.a, r.b) for r in out5.collect()}
+    assert got3 <= got5  # looser threshold is a superset
+    planted = {(i, i + 100000) for i in range(50)}
+    assert planted <= got5
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(d, max_hamming=15)
+
+
+def test_simhash_chunking_partitions_all_bits():
+    """The derived (shift, mask) chunking must cover bits 0..62 exactly
+    once for every legal max_hamming — the pigeonhole precondition."""
+    for h in range(0, 15):
+        n_chunks = h + 1
+        width = 63 // n_chunks
+        covered = []
+        for c in range(n_chunks):
+            w = 63 - c * width if c == n_chunks - 1 else width
+            covered.extend(range(c * width, c * width + w))
+        assert covered == list(range(63)), f"H={h}: bits {covered}"
 
 
 def test_simhash_identical_docs_equal_hash(spark, docs):

@@ -108,6 +108,40 @@ def test_embedding_near_dup_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _pair_exchange_inputs(plan: str, a: str, b: str) -> list[str]:
+    """Input column lists of every Exchange hash-partitioned on (a, b)."""
+    return [
+        m.group(1)
+        for m in re.finditer(
+            r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]\n"
+            rf"Arguments: hashpartitioning\({a}#\d+L?, {b}#\d+L?,",
+            plan,
+        )
+    ]
+
+
+def test_embedding_pair_dedup_shuffles_bare_ids(spark):
+    """VERDICT r2 #1: the candidate-pair dedup shuffle must move bare
+    (a, b) id rows — at dim 512-4096 a unit vector riding that Exchange is
+    KBs per collision.  Gate: every Exchange keyed on the pair ids carries
+    exactly the two id columns; vectors re-join after the dedup."""
+    from singer_tap_spark.ops.similarity import embedding_near_dup_pairs, lsh_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.35, n_planes=2, n_tables=16))
+    inputs = _pair_exchange_inputs(plan, "a", "b")
+    assert inputs, "pair-dedup Exchange not found — plan shape changed?"
+    for cols in inputs:
+        assert len(cols.split(",")) == 2, f"vector riding the pair shuffle: {cols}"
+
+    plan = _plan(lsh_ann_topk(emb, k=5, n_planes=2, n_tables=8))
+    inputs = _pair_exchange_inputs(plan, "query_id", "neighbor_id")
+    assert inputs, "pair-dedup Exchange not found — plan shape changed?"
+    for cols in inputs:
+        assert len(cols.split(",")) == 2, f"vector riding the pair shuffle: {cols}"
+
+
 def test_simhash_pairs_is_equi_join(spark):
     from singer_tap_spark.ops.dedup_text import simhash_near_dup_pairs
 

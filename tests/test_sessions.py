@@ -94,3 +94,22 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
     missing = want.exceptAll(got).count()
     assert missing <= 1, f"{missing} sessions never emitted"  # only the tail
     assert got.count() > 0
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """MEASURED boundary semantics (ADVICE r2 raised this; the claim was
+    backwards): Spark merges session windows that merely TOUCH, so an event
+    arriving EXACTLY gap after its predecessor stays in the SAME session —
+    i.e. strict '> gap' starts a new one, matching the lag+cumsum twin and
+    the DuckDB oracles as already written.  This test pins the behavior so
+    a Spark-version change would surface loudly."""
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),   # exactly 30 min later -> SAME session
+        (1, "2024-01-01 01:00:00.001"),  # 1 ms over the gap -> NEW session
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = sessionize(ev).orderBy("session_start").collect()
+    assert [r.n_events for r in got] == [2, 1]
