@@ -7,8 +7,9 @@ training-data ops); each callable takes (spark, sf_dir) -> DataFrame.
 query (same column names; driver hash-compares values).  The approximate ops
 (MinHash-LSH, LSH-ANN, embedding near-dup) emit their VERIFIED/exact-scored
 output, whose recall is measured complete on these corpora (pytest-enforced),
-so they get full SQL oracles too; only the raw SimHash signature table
-(xxhash64-based) stays rows-only with a pytest oracle.
+so they get full SQL oracles too.  Since r3 EVERY entry has a full oracle:
+the SimHash family ships as discovery+exact-verify (docs_simhash_dedup) and
+IVF anchors at probe-all, where its output is exact.
 """
 
 from __future__ import annotations
@@ -23,7 +24,6 @@ from singer_tap_spark.ops.dedup_text import (
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash,
 )
 from singer_tap_spark.ops.similarity import brute_force_topk, lsh_ann_topk
 from singer_tap_spark.ops.text import (
@@ -349,9 +349,43 @@ def q_media_frame_sample(spark, sf_dir):
 
 # rows-only (xxhash64-based — DuckDB cannot reproduce; pytest oracles cover):
 
-def q_docs_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return simhash(d)
+def q_docs_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup dedup, discovery -> verify (retires r2's rows-only
+    docs_simhash entry): simhash_near_dup_pairs at hamming 0 generates
+    candidates via the chunk equi-join, then an exact fingerprint-equality
+    verify keeps true duplicates only — the same discovery/verify split as
+    MinHash-LSH.  The verify matters: the synthetic corpus contains ~16
+    genuine simhash collisions (near-identical token multisets whose 63
+    bit-sums all share sign); SimHash reports them at hamming 0 by design,
+    the exact check filters them.  Output == fingerprint-equality pairs,
+    which IS plain SQL — full oracle at any sf."""
+    from singer_tap_spark.ops.dedup_text import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dd = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    cand = simhash_near_dup_pairs(dd, max_hamming=0)
+    fp = dd.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    return (
+        cand.join(fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fpa")), "a")
+        .join(fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fpb")), "b")
+        .where(F.col("fpa") == F.col("fpb"))
+        .select("a", "b", F.col("fpa").alias("fingerprint"))
+    )
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN top-k at probe-all (n_probe == n_centroids): every query
+    scans every inverted list exactly once, so the output is EXACT — the
+    full-SQL-oracle anchor for the IVF path (k-means quantizer, centroid
+    equi-join, per-list refinement all execute for real; only the list
+    PRUNING is disabled).  Recall at realistic probes is measured in
+    tests/test_ops_dedup.py::test_ivf_recall_grows_with_probes."""
+    from singer_tap_spark.ops.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return ivf_ann_topk(emb, k=5, n_centroids=8, n_probe=8).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -378,8 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "sessionization": q_sessionization,
         "docs_minhash_lsh": q_docs_minhash_lsh,
-        "docs_simhash": q_docs_simhash,
+        "docs_simhash_dedup": q_docs_simhash_dedup,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "media_frame_sample": q_media_frame_sample,
         "sessionization_window": q_sessionization_window,
     }
@@ -720,6 +755,41 @@ def oracle_sql() -> dict[str, str]:
                  AS u(f)
             WHERE doc_id % 3 = 2
         """,
-        # docs_simhash: xxhash64 signatures — not reproducible in DuckDB;
-        # rows-only here, exact-oracle checks live in tests/test_ops_dedup.py
+        # SimHash discovery + exact fingerprint verify == fingerprint-
+        # equality pairs (the verify stage guarantees it at ANY sf; the
+        # xxhash64 signatures themselves never surface in the output)
+        "docs_simhash_dedup": f"""
+            WITH doubled AS (
+              SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, md5({_NORM_SQL}) AS fp
+              FROM documents
+            )
+            SELECT l.doc_id AS a, r.doc_id AS b, l.fp AS fingerprint
+            FROM doubled l JOIN doubled r
+              ON l.fp = r.fp AND l.doc_id < r.doc_id
+        """,
+        # IVF at probe-all is exact (every list scanned once): the oracle is
+        # the same exact top-k SQL as emb_lsh_ann
+        "ivf_ann": """
+            WITH u AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings WHERE vec_id < 200
+            ), unit AS (
+              SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM u
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, len(q.uv) + 1),
+                                              i -> q.uv[i] * c.uv[i])), 6) AS cos_sim
+              FROM unit q JOIN unit c ON c.vec_id <> q.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        """,
     }

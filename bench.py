@@ -48,6 +48,16 @@ def main() -> None:
             best = s if best is None else min(best, s)
         queries[name] = round(best, 3)
 
+    def force(df) -> None:
+        # full-evaluation collapse: hash EVERY output column into one
+        # bit_xor aggregate.  A bare .count() lets Catalyst prune all
+        # unreferenced projections — pure-projection entries were timing a
+        # parquet row count, not the operator (VERDICT r2 #2).  bit_xor,
+        # not sum: session-independent under ANSI overflow rules.
+        from pyspark.sql import functions as F
+
+        df.agg(F.bit_xor(F.xxhash64(*df.columns)).alias("h")).collect()
+
     # --- end-to-end CDC replay (the headline): events scaled to sf ---------
     n_events = max(100_000, int(sf * 20_000_000))
     base = "/tmp/stsp_bench"
@@ -109,12 +119,22 @@ def main() -> None:
         "docs_exact_dedup",
         "docs_ngram_jaccard",
         "docs_minhash_lsh",
-        "docs_simhash",
+        "docs_simhash_dedup",
         "emb_cosine_topk",
         "emb_lsh_ann",
         "emb_near_dup_pairs",
+        "ivf_ann",
     ]:
-        timed(name, lambda n=name: Q[n](spark, sf_dir).count())
+        timed(name, lambda n=name: force(Q[n](spark, sf_dir)))
+
+    # raw SimHash signature table (no longer a driver entry — its xxhash64
+    # output has pytest oracles only): timed directly for r1/r2 continuity
+    from singer_tap_spark.ops.dedup_text import simhash as _simhash
+
+    timed(
+        "docs_simhash",
+        lambda: force(_simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))),
+    )
 
     shutil.rmtree(base, ignore_errors=True)
     total = round(sum(queries.values()), 3)
