@@ -61,6 +61,17 @@ def _sync(args) -> None:
         max_records_per_file=args.max_records_per_file,
     )
     p = CDCPipeline(spark, cfg)
+    if args.bootstrap_snapshot:
+        # copy-then-stream (planetscale_edge_database.go:175-186): load the
+        # existing table as chunked seq=-1 INSERTs (resumable via the
+        # persisted last_pk cursor), then the normal replay applies the
+        # change log on top
+        from singer_tap_spark.sync import bootstrap_from_snapshot
+
+        snap = spark.read.parquet(args.bootstrap_snapshot)
+        bootstrap_from_snapshot(
+            p, snap, ts_col=args.bootstrap_ts_col, n_chunks=args.bootstrap_chunks
+        )
     if args.delta_feed:
         p.run_delta_feed(args.delta_feed, available_now=not args.continuous)
         print(json.dumps({"delta_feed": args.delta_feed}))
@@ -191,6 +202,21 @@ def main(argv: list[str] | None = None) -> None:
         "--delta-feed", default=None, metavar="PATH",
         help="streaming head: write the stateful per-key UPSERT/DELETE "
              "delta feed to PATH instead of materializing the table",
+    )
+    s.add_argument(
+        "--bootstrap-snapshot", default=None, metavar="PATH",
+        help="stand up the table from an existing snapshot (parquet) before "
+             "applying the change log — VStream's copy-then-stream phase; "
+             "chunked + resumable via the persisted last_pk cursor",
+    )
+    s.add_argument(
+        "--bootstrap-chunks", type=int, default=1,
+        help="apply the snapshot in N contiguous PK-range chunks; a crash "
+             "resumes after the last completed chunk",
+    )
+    s.add_argument(
+        "--bootstrap-ts-col", default="ts",
+        help="snapshot column holding the LWW timestamp",
     )
     s.add_argument(
         "--specs", default=None,

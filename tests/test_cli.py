@@ -62,3 +62,84 @@ def test_cli_delta_feed(spark, tmp_path, capsys):
     feed = spark.read.parquet(f"{base}/feed")
     assert feed.count() > 0
     assert "op" in feed.columns and os.path.isdir(f"{base}/ckpt")
+
+
+def test_cli_bootstrap_snapshot_resumes_and_matches_oracle(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """VERDICT r2 #7: `sync --bootstrap-snapshot PATH --bootstrap-chunks N`
+    stands up the table from an existing snapshot through the CLI, crash-
+    resumes between chunks via the persisted last_pk cursor, and the final
+    state equals snapshot-overlaid-with-log-LWW."""
+    import pytest
+
+    from singer_tap_spark.pipeline import CDCPipeline
+    from conftest import duck, lww_oracle_sql
+
+    base = str(tmp_path)
+    write_changelog(
+        generate_changelog(spark, 3000, update_frac=0.5, delete_frac=0.1),
+        f"{base}/log",
+    )
+    snapshot = (
+        spark.range(800)
+        .selectExpr(
+            "concat('snap-', lpad(cast(id as string), 6, '0')) AS conv_id",
+            "cast(id % 3 AS int) AS turn_idx",
+            "'user' AS role",
+            "concat('text-', id) AS text",
+            "cast(NULL as string) AS tool",
+        )
+        .withColumn("ts", F.to_timestamp(F.lit("2020-01-01 00:00:00")))
+    )
+    snapshot.write.parquet(f"{base}/snap")
+
+    cli = [
+        "sync", "--changelog", f"{base}/log", "--target", f"{base}/tgt",
+        "--lineage", f"{base}/lineage.json",
+        "--bootstrap-snapshot", f"{base}/snap", "--bootstrap-chunks", "5",
+    ]
+
+    # run 1: crash after 2 of 5 chunks (mid-bootstrap, before replay)
+    real_apply = CDCPipeline.apply_batch
+    calls = {"n": 0}
+
+    def crashing(self, batch, batch_id):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-bootstrap")
+        calls["n"] += 1
+        return real_apply(self, batch, batch_id)
+
+    monkeypatch.setattr(CDCPipeline, "apply_batch", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        main(cli)
+    copied = spark.read.parquet(f"{base}/tgt/data").count()
+    assert 0 < copied < 800  # partial progress persisted
+    monkeypatch.setattr(CDCPipeline, "apply_batch", real_apply)
+
+    # run 2: resumes the copy after the last COMPLETED chunk, then replays
+    main(cli)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total_events"] > 0
+
+    final = spark.read.parquet(f"{base}/tgt/data")
+    # snapshot keys are disjoint from log keys: all 800 survive untouched
+    snap_rows = final.where(F.col("conv_id").startswith("snap-"))
+    assert snap_rows.count() == 800
+    # log keys follow the log's LWW outcome exactly
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
+    got = (
+        final.where(~F.col("conv_id").startswith("snap-"))
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        want[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
