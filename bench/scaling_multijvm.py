@@ -47,23 +47,33 @@ HEAP = "6g"
 N_SHARDS = 8
 
 
-def _cmd(events: int, reps: int, workdir: str, subset: str | None) -> list[str]:
+def _cmd(
+    events: int,
+    reps: int,
+    workdir: str,
+    subset: str | None,
+    hot: float = 0.0,
+    key_subset: str | None = None,
+) -> list[str]:
     cmd = [
         sys.executable, "-m", "singer_tap_spark.job", "bench-replay",
         "--events", str(events), "--cpus", str(CORES_PER_EXEC),
         "--seed", "42", "--reps", str(reps), "--shards", str(N_SHARDS),
-        # uniform conversations for the SCALING measurement: the hot-conv
-        # fixture (10% of all events in one conversation => one shard owns
-        # ~32% of the input) caps a 4-way share-nothing split at 3.1x by
-        # construction — an artifact of JVM isolation, since one Spark app's
-        # merge shuffle spreads keys over ALL executors regardless of source
-        # shard.  Skew handling is measured in bench.py (hot 0.1) and the
-        # dedicated skew tests; scaling measures the ENGINE.
-        "--hot-frac", "0",
+        # uniform conversations for the headline SCALING measurement: the
+        # hot-conv fixture (10% of all events in one conversation) caps ANY
+        # share-nothing 4-way split at ~0.77 by construction — a single hot
+        # KEY is atomic under conv-keyed partitioning on a real cluster too,
+        # but one Spark app's merge shuffle spreads all other keys over all
+        # executors.  The dedicated SKEW session (SCALING_MODE=skew) runs
+        # hot 0.1 with a key-hash split and reports the measured efficiency
+        # NEXT TO that structural cap.
+        "--hot-frac", str(hot),
         "--workdir", workdir,
     ]
     if subset:
         cmd += ["--shard-subset", subset]
+    if key_subset:
+        cmd += ["--key-subset", key_subset]
     return cmd
 
 
@@ -87,22 +97,28 @@ def _parse(out: subprocess.CompletedProcess | tuple[int, str, str]) -> dict:
     return json.loads(stdout.strip().splitlines()[-1])
 
 
-def run_config_a(events: int, reps: int) -> dict:
+def run_config_a(events: int, reps: int, hot: float = 0.0) -> dict:
     pin = f"0-{CORES_PER_EXEC - 1}"
     out = subprocess.run(
-        ["taskset", "-c", pin, *_cmd(events, reps, "/dev/shm/stsp_mj_a", None)],
+        ["taskset", "-c", pin,
+         *_cmd(events, reps, "/dev/shm/stsp_mj_a", None, hot=hot)],
         capture_output=True, text=True, env=_env(), cwd=REPO,
     )
     return _parse(out)
 
 
-def run_config_b(events: int, reps: int) -> list[dict]:
+def run_config_b(
+    events: int, reps: int, hot: float = 0.0, split: str = "shard"
+) -> list[dict]:
     procs = []
     for i in range(N_EXECS_B):
         pin = f"{i * CORES_PER_EXEC}-{(i + 1) * CORES_PER_EXEC - 1}"
+        sub = f"{i}:{N_EXECS_B}"
         p = subprocess.Popen(
             ["taskset", "-c", pin,
-             *_cmd(events, reps, f"/dev/shm/stsp_mj_b{i}", f"{i}:{N_EXECS_B}")],
+             *_cmd(events, reps, f"/dev/shm/stsp_mj_b{i}",
+                   sub if split == "shard" else None, hot=hot,
+                   key_subset=sub if split == "key" else None)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=_env(), cwd=REPO,
         )
@@ -162,7 +178,129 @@ each added executor is a separate process, as on a real cluster.
 """
 
 
+_SKEW_START = "<!-- SKEW-SECTION-START -->"
+_SKEW_END = "<!-- SKEW-SECTION-END -->"
+
+
+def _skew_md(skew_hist: list[dict]) -> str:
+    if not skew_hist:
+        return ""
+    rows = "\n".join(
+        f"| {h['unix']} | {h['events']:,} | {h['thr_N_hot']:,.0f} | "
+        f"{h['thr_4N_hot']:,.0f} | **{h['efficiency']:.3f}** | "
+        f"{h['structural_cap']:.3f} | {h['eff_vs_cap']:.3f} | "
+        f"{h['single_app_skew_penalty']:.3f} |"
+        for h in skew_hist
+    )
+    return f"""{_SKEW_START}
+## Skewed-key session (hot_conv_frac = 0.1, key-hash split)
+
+Same protocol, but 10% of ALL events land in one hot conversation and the
+4 executors split on ``xxhash64(conv_id) % 4`` — the granularity a real
+cluster's merge shuffle distributes on.  A single hot KEY is atomic under
+conv-keyed partitioning on ANY system (its events must co-locate for the
+merge), so the hot executor's share sets a STRUCTURAL cap:
+cap = (total/4) / max-slice ≈ 0.77 at hot 0.1.  The honest read is
+`efficiency / cap` — how much of the achievable scaling the engine
+delivers — plus the single-app skew penalty (one JVM, hot 0.1 vs hot 0
+throughput in the same session), which shows what the merge shuffle's
+rebalancing absorbs when executors are NOT share-nothing-isolated:
+
+| unix | events | thr N (hot) | thr 4N (hot) | efficiency | structural cap | eff / cap | single-app skew penalty |
+|---|---|---|---|---|---|---|---|
+{rows}
+
+(single-app skew penalty = thr(1 JVM, hot 0.1) / thr(1 JVM, hot 0); a value
+near 1.0 means one Spark app absorbs this skew almost entirely — the salted
+changelog repartition + AQE skew handling at work — so the share-nothing cap
+above is an artifact of JVM isolation, not an engine property.)
+{_SKEW_END}"""
+
+
+def _load_hist(path: str) -> list[dict]:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return []
+
+
+def _splice_skew_into_doc(doc: str, skew_md: str) -> str:
+    """Insert/replace the skew section, keeping it above the r1 appendix."""
+    if _SKEW_START in doc:
+        pre, rest = doc.split(_SKEW_START, 1)
+        _, post = rest.split(_SKEW_END, 1)
+        doc = pre + post
+    if not skew_md:
+        return doc
+    anchor = "## Appendix: r1 single-JVM protocol history"
+    if anchor in doc:
+        pre, post = doc.split(anchor, 1)
+        return pre + skew_md + "\n\n" + anchor + post
+    return doc + "\n" + skew_md + "\n"
+
+
+def run_skew_session() -> None:
+    """One skewed-key scaling session (VERDICT r2 #6): measured efficiency
+    reported against the structural share-nothing cap, plus the single-app
+    skew penalty.  Appends to its OWN history file — never the uniform one
+    (the uniform median is the headline number and must not mix fixtures).
+    """
+    events = int(os.environ.get("SCALING_EVENTS", "8000000"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    hot = 0.1
+
+    a_uniform = run_config_a(events, reps, hot=0.0)
+    a_hot = run_config_a(events, reps, hot=hot)
+    print(f"config A hot={hot}: best {a_hot['events_per_sec']} ev/s "
+          f"(uniform twin {a_uniform['events_per_sec']})", file=sys.stderr)
+    b = run_config_b(events, reps, hot=hot, split="key")
+    for i, r in enumerate(b):
+        print(f"config B exec {i}: {r['events']} events, best "
+              f"{r['apply_seconds']}s", file=sys.stderr)
+
+    rows_b = sum(r["final_rows"] for r in b)
+    assert rows_b == a_hot["final_rows"], (rows_b, a_hot["final_rows"])
+    events_b = sum(r["events"] for r in b)
+    assert events_b == a_hot["events"], (events_b, a_hot["events"])
+
+    slowest = max(r["apply_seconds"] for r in b)
+    thr_b = events_b / slowest
+    thr_a = a_hot["events_per_sec"]
+    eff = thr_b / thr_a / N_EXECS_B
+    cap = (events_b / N_EXECS_B) / max(r["events"] for r in b)
+    penalty = a_hot["events_per_sec"] / a_uniform["events_per_sec"]
+
+    hist_path = os.path.join(REPO, "BENCH", "scaling_sessions_skew.json")
+    history = _load_hist(hist_path)
+    history.append({
+        "unix": int(time.time()),
+        "events": events,
+        "reps": reps,
+        "hot_conv_frac": hot,
+        "split": "key-hash",
+        "thr_N_hot": round(thr_a, 1),
+        "thr_4N_hot": round(thr_b, 1),
+        "efficiency": round(eff, 3),
+        "structural_cap": round(cap, 3),
+        "eff_vs_cap": round(eff / cap, 3),
+        "single_app_skew_penalty": round(penalty, 3),
+        "slice_events": [r["events"] for r in b],
+    })
+    with open(hist_path, "w") as f:
+        json.dump(history, f, indent=2)
+
+    doc_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(doc_path) as f:
+        doc = f.read()
+    with open(doc_path, "w") as f:
+        f.write(_splice_skew_into_doc(doc, _skew_md(history)))
+    print(json.dumps(history[-1]))
+
+
 def main() -> None:
+    if os.environ.get("SCALING_MODE", "uniform") == "skew":
+        run_skew_session()
+        return
     events = int(os.environ.get("SCALING_EVENTS", "8000000"))
     reps = int(os.environ.get("SCALING_REPS", "3"))
 
@@ -293,6 +431,10 @@ Single-session numbers on this shared host swing ±20% with neighbor load
 
 Generated by bench/scaling_multijvm.py at unix {int(time.time())}.
 """
+    # a skew-session table (SCALING_MODE=skew) lives between markers and is
+    # re-spliced into every regeneration so uniform runs never drop it
+    skew_hist = _load_hist(os.path.join(REPO, "BENCH", "scaling_sessions_skew.json"))
+    doc = _splice_skew_into_doc(doc, _skew_md(skew_hist))
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:

@@ -126,6 +126,17 @@ def _bench_replay(args) -> None:
         i, k = (int(x) for x in args.shard_subset.split(":"))
         keep = [f"shard-{s}" for s in range(args.shards) if s % k == i]
         df = df.where(F.col("shard").isin(keep))
+    if args.key_subset:
+        # finer-grained executor analogue for the SKEW session: split on the
+        # conversation key hash, not the source shard — the granularity a
+        # real cluster's merge shuffle distributes on.  A single hot
+        # conversation is still atomic under ANY conv-keyed partitioning
+        # (the merge must co-locate a key's events), so the hot JVM's share
+        # sets a structural cap the report quantifies.
+        from pyspark.sql import functions as F
+
+        i, k = (int(x) for x in args.key_subset.split(":"))
+        df = df.where(F.pmod(F.xxhash64("conv_id"), F.lit(k)) == i)
     write_changelog(df, log_path, n_files_per_shard=args.files_per_shard)
     gen_s = time.monotonic() - gen_t0
 
@@ -257,6 +268,11 @@ def main(argv: list[str] | None = None) -> None:
         "--shard-subset", default=None, metavar="i:k",
         help="process only shards where shard_index %% k == i (multi-JVM "
              "executor-analogue scaling protocol)",
+    )
+    b.add_argument(
+        "--key-subset", default=None, metavar="i:k",
+        help="process only conversations where xxhash64(conv_id) %% k == i "
+             "(key-hash executor analogue for the skewed scaling session)",
     )
     b.add_argument("--workdir", default="/tmp/singer_tap_spark_bench")
     b.add_argument("--keep", action="store_true")

@@ -45,7 +45,10 @@ def curate(
     Near-dup removal, lower id survives each pair: ``near_dup_jaccard``
     routes through MinHash-LSH + candidates-only exact-Jaccard verify;
     ``near_dup_hamming`` routes through SimHash chunk-join pairs (cheaper —
-    one signature pass, no shingle explode — coarser)."""
+    one signature pass, no shingle explode — coarser).  Valid hamming range
+    is 0..14: the chunk count is derived as hamming+1 so the pigeonhole
+    guarantee always holds (out-of-range raises in simhash_near_dup_pairs);
+    for looser similarity use the Jaccard route."""
     t = F.col(text_col)
     annotated = docs.select(
         "*",

@@ -143,3 +143,42 @@ def test_cli_bootstrap_snapshot_resumes_and_matches_oracle(
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pyfiles_zip_imports_standalone(tmp_path):
+    """The --py-files artifact must be importable on its own (what an
+    executor does with a shipped zip): build it, put ONLY the zip on
+    sys.path in a subprocess, import the package and touch key modules."""
+    import importlib.util
+    import subprocess
+    import sys
+
+    # bench.py at the repo root shadows the bench/ dir: load by path
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "make_pyfiles", os.path.join(repo, "bench", "make_pyfiles.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    build = mod.build
+
+    out = build(str(tmp_path / "singer_tap_spark.zip"))
+    # byte-stable artifact: two builds are identical
+    out2 = build(str(tmp_path / "again.zip"))
+    assert open(out, "rb").read() == open(out2, "rb").read()
+
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import singer_tap_spark; "
+        "from singer_tap_spark import pipeline, lake, sync, job, decode; "
+        "from singer_tap_spark.ops import dedup_text, similarity; "
+        "print('zip-import-ok')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", probe, out],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin"},  # no repo on PYTHONPATH
+        cwd=str(tmp_path),              # not the repo dir
+    )
+    assert r.returncode == 0, r.stderr
+    assert "zip-import-ok" in r.stdout

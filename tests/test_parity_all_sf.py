@@ -1,0 +1,80 @@
+"""ADVICE r2: the LSH-family driver entries have EXACT SQL oracles only
+because banding recall is measured complete at the entries' pinned settings
+— so that parity must be enforced at the same id-cutoffs/settings on EVERY
+shipped sf, not just sf0.001.  A testdata regeneration that broke recall
+would fail here loudly instead of surfacing as a driver hash mismatch.
+
+Cheap at every sf: the entries' id cutoffs (doc_id < 150, vec_id < 200/300)
+bound the compared corpus regardless of scale factor.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from singer_tap_spark.ops.dedup_text import minhash_lsh_candidates
+from singer_tap_spark.ops.similarity import (
+    _dot,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+    with_unit_vec,
+)
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_minhash_lsh_parity_at_driver_settings(spark, sf):
+    """docs_minhash_lsh: banding at 64/16 recovers EVERY pair with exact
+    jaccard >= 0.5 on the doubled doc_id<150 corpus (the driver entry's
+    exact-SQL oracle is valid only if this holds)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 150)
+    dd = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    got = {(r.a, r.b, r.jaccard) for r in
+           minhash_lsh_candidates(dd, verify_threshold=0.5).select(
+               "a", "b", "jaccard").collect()}
+
+    # exact: shingle self-join jaccard on the same corpus
+    from singer_tap_spark.ops.dedup_text import ngram_jaccard_pairs
+
+    want = {(r.a, r.b, r.jaccard) for r in
+            ngram_jaccard_pairs(dd, n=4, threshold=0.5).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_lsh_ann_parity_at_driver_settings(spark, sf):
+    """emb_lsh_ann: planes=2 x tables=32 top-5 equals exact brute-force
+    top-5 on the vec_id<200 corpus."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(F.col("vec_id") < 200)
+    got = {tuple(r) for r in
+           lsh_ann_topk(emb, k=5, n_planes=2, n_tables=32).collect()}
+    want = {tuple(r) for r in _brute_topk(emb, k=5).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_embedding_near_dup_parity_at_driver_settings(spark, sf):
+    """emb_near_dup_pairs: planes=2 x tables=16 at threshold 0.35 recovers
+    every brute-force pair on the vec_id<300 corpus."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(F.col("vec_id") < 300)
+    got = {(r.a, r.b, r.cos_sim) for r in
+           embedding_near_dup_pairs(
+               emb, threshold=0.35, n_planes=2, n_tables=16).collect()}
+    u = with_unit_vec(emb).select(F.col("vec_id").alias("id"), F.col("_unit").alias("v"))
+    want = {(r.a, r.b, r.cos_sim) for r in (
+        u.alias("l").join(u.alias("r"), F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.round(_dot("l.v", "r.v"), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.35)).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def _brute_topk(emb, k):
+    from singer_tap_spark.ops.similarity import brute_force_topk
+
+    return brute_force_topk(emb, emb, k=k)
