@@ -19,6 +19,7 @@ k-means the corpus; LSH keeps this dependency-free and deterministic.)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -199,69 +200,90 @@ def lsh_ann_topk(
 
 
 def _kmeans_centroids(
-    u: DataFrame, n_centroids: int, n_iter: int = 4
+    u: DataFrame, n_centroids: int, n_iter: int = 4, sample_size: int = 65536
 ) -> list[list[float]]:
-    """Deterministic Lloyd k-means over unit vectors (cosine distance).
+    """Deterministic Lloyd k-means over unit vectors (cosine distance),
+    trained DRIVER-SIDE on a bounded sample — the standard IVF practice
+    (FAISS trains its coarse quantizer on a sample, not the corpus).
 
-    Init = the first ``n_centroids`` vectors in id order (seeded data =>
-    deterministic); each iteration is ONE Spark job (assign via an argmin
-    expression over centroid literals, update via posexplode + per-(cluster,
-    dim) mean); centroids re-normalized driver-side.  k and dim are small —
-    the collect is k x dim floats.  Empty clusters keep their centroid.
+    The r2 form iterated distributedly: 2 Spark jobs per Lloyd iteration
+    (argmin assign + posexplode per-dim means), 8+ serial jobs before any
+    search work — each paying multi-second fixed scheduling/codegen cost,
+    measured 35-84 s per IVF call regardless of expression shape.  Training
+    on the lowest ``sample_size`` ids (TakeOrderedAndProject — one O(n)
+    scan, no full sort, deterministic at any parallelism) does the same
+    math in numpy in milliseconds; at 10^9 vectors the sample bound also
+    caps driver memory (64k x dim floats) where a full-corpus collect could
+    not.  Quantizer quality, not exactness, is what matters: list
+    assignment and search stay exact Spark-side whatever the centroids.
+
+    Init = first ``n_centroids`` sample vectors in id order; argmin ties
+    break on the lowest centroid index (np.argmin); empty clusters keep
+    their centroid; means re-normalized to the unit sphere.
     """
-    cents = [list(r["v"]) for r in u.orderBy("id").limit(n_centroids).collect()]
+    rows = u.orderBy("id").limit(max(sample_size, n_centroids)).collect()
+    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        return []
+    cents = x[:n_centroids].copy()
     for _ in range(n_iter):
-        best = _nearest_centroid(cents)
-        # two selects: a generator (posexplode) in the same projection as
-        # the argmin struct access trips a Catalyst field-resolution quirk
-        asg = u.select(best.alias("c"), "v")
-        means = (
-            asg.select("c", F.posexplode("v").alias("pos", "x"))
-            .groupBy("c", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_c: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_c.setdefault(r["c"], {})[r["pos"]] = r["m"]
-        new = []
-        for i, old in enumerate(cents):
-            if i in by_c:
-                vec = np.array([by_c[i][p] for p in range(len(old))])
-                nrm = float(np.linalg.norm(vec))
-                new.append((vec / nrm).tolist() if nrm > 0 else old)
-            else:
-                new.append(old)  # empty cluster: keep
-        cents = new
-    return cents
+        asg = np.argmin(1.0 - x @ cents.T, axis=1)  # cosine dist on units
+        for i in range(len(cents)):
+            members = x[asg == i]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cents[i] = m / nrm
+    return cents.tolist()
 
 
-def _nearest_centroid(cents: list[list[float]]) -> F.Column:
-    """argmin over centroid literals (cosine distance on unit vectors);
-    ties break on centroid index — deterministic."""
-    dists = [
-        F.struct(
-            (F.lit(1.0) - _dot("v", F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    return F.array_min(F.array(*dists))["i"]
+def _centroid_dist_matrix(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(rows x k) cosine distances, one GEMV per centroid.
+
+    Per-centroid matrix-vector products (not one GEMM) on purpose: a GEMV
+    output element is an independent dot product whose rounding does not
+    depend on the batch height, so a row's distances — and therefore its
+    argmin/argsort — are identical at any Arrow batch size / partitioning.
+    A single GEMM's blocking could round differently per batch shape and
+    make tie-breaks parallelism-dependent."""
+    d = np.empty((len(x), len(cents)), dtype=np.float64)
+    for i in range(len(cents)):
+        d[:, i] = 1.0 - x @ cents[i]
+    return d
 
 
-def _probed_centroids(cents: list[list[float]], n_probe: int) -> F.Column:
-    """The n_probe nearest centroid ids, as an array (lexicographic
-    array_sort on (distance, id) structs — deterministic)."""
-    dists = [
-        F.struct(
-            (F.lit(1.0) - _dot("v", F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    return F.transform(
-        F.slice(F.array_sort(F.array(*dists)), 1, n_probe), lambda s: s["i"]
-    )
+def _assign_udf(cents: np.ndarray):
+    """Vectorized nearest-centroid assignment (Arrow batches, numpy argmin;
+    ties -> lowest centroid index).  The per-row k x dim argmin is the one
+    kernel Catalyst can't express efficiently: HOF lambdas evaluate
+    interpreted per element (~us each), measured 23-54 s for 2000 x 64
+    at k=16-45; the batch matmul does it in milliseconds — exactly the
+    'vectorized pandas UDF for the non-expressible hot path' rule."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())
+        return pd.Series(np.argmin(_centroid_dist_matrix(x, cents), axis=1))
+
+    return assign
+
+
+def _probes_udf(cents: np.ndarray, n_probe: int):
+    """Vectorized n_probe-nearest-centroids (stable argsort: ties -> lowest
+    centroid index, matching the assign UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())
+        order = np.argsort(
+            _centroid_dist_matrix(x, cents), axis=1, kind="stable"
+        )[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probes
 
 
 def ivf_ann_topk(
@@ -281,19 +303,23 @@ def ivf_ann_topk(
     One equi-join on the centroid id (lists average corpus/n_centroids;
     at 10^9 vectors raise n_centroids ~ sqrt(n) so list scans stay flat),
     exact cosine inside probed lists, no pair dedup needed (a target lives
-    in exactly one list).  Deterministic end-to-end: seeded data, id-order
-    init, argmin/array_sort tie-breaks on index.
+    in exactly one list).  Quantizer trained driver-side on a bounded
+    deterministic sample (see :func:`_kmeans_centroids`); assignment and
+    probing are vectorized Arrow/pandas UDFs (see :func:`_assign_udf` —
+    Catalyst HOFs evaluate the per-row k x dim argmin interpreted, ~20x
+    slower).  Deterministic end-to-end: seeded data, id-order init,
+    batch-shape-independent GEMV distances, stable tie-breaks on index.
     Output: (query_id, neighbor_id, cos_sim, rank).
     """
     u = with_unit_vec(corpus, vec_col).select(
         F.col(id_col).alias("id"), F.col("_unit").alias("v")
     )
-    cents = _kmeans_centroids(u, n_centroids, n_iter)
-    lists = u.select("id", "v", _nearest_centroid(cents).alias("c"))
+    cents = np.array(_kmeans_centroids(u, n_centroids, n_iter), dtype=np.float64)
+    lists = u.select("id", "v", _assign_udf(cents)(F.col("v")).alias("c"))
     probes = u.select(
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.explode(_probed_centroids(cents, n_probe)).alias("c"),
+        F.explode(_probes_udf(cents, n_probe)(F.col("v"))).alias("c"),
     )
     scored = (
         probes.join(lists, "c")
