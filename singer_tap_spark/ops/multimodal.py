@@ -110,16 +110,25 @@ def _pil_feature(content: bytes, dim: int) -> np.ndarray | None:
     return (v / n).astype(np.float32)
 
 
-def extract_features(df: DataFrame, dim: int = 32) -> DataFrame:
+def extract_features(
+    df: DataFrame, dim: int = 32, image_decoder=None
+) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches, iterator
     contract — one batch in flight per task).
 
     Per-row routing (never raises on the PRESENCE of a dependency —
-    VERDICT r2 #4): with PIL importable, decodable image payloads take the
-    real downsampled-pixel path (``decoder='real'``); undecodable payloads
-    and PIL-less environments take the deterministic digest stub
-    (``decoder='stub'``).  The ``decoder`` column always reflects the path
-    actually taken."""
+    VERDICT r2 #4): with a decoder available, decodable image payloads take
+    the real path (``decoder='real'``); undecodable payloads and codec-less
+    environments take the deterministic digest stub (``decoder='stub'``).
+    The ``decoder`` column always reflects the path actually taken.
+
+    ``image_decoder``: optional ``(bytes, dim) -> ndarray | None`` override
+    — the extension point for a real model/codec; captured BY VALUE into
+    the task closure (Python workers re-import modules, so module-global
+    monkeypatching would not reach them).  Defaults to the PIL
+    downsampled-pixel path when PIL is importable, else stub-only."""
+    if image_decoder is None and _HAVE_PIL:
+        image_decoder = _pil_feature
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,7 +140,7 @@ def extract_features(df: DataFrame, dim: int = 32) -> DataFrame:
                     decoders.append("stub")
                     continue
                 raw = bytes(c)
-                v = _pil_feature(raw, dim) if _HAVE_PIL else None
+                v = image_decoder(raw, dim) if image_decoder is not None else None
                 if v is not None:
                     feats.append(v)
                     decoders.append("real")

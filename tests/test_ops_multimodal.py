@@ -83,3 +83,75 @@ def test_extract_features_routes_per_payload(spark):
         out = extract_features(df, dim=8).collect()
         assert out[0]["decoder"] == "real"
         assert len(out[0]["feature"]) == 8
+
+
+def test_pil_real_path_via_fake_codec(spark, monkeypatch):
+    """The PIL branch can't import PIL in this sandbox, so (a) exercise
+    _pil_feature's math driver-side against a minimal fake codec and (b)
+    exercise the per-row real/stub ROUTING through Spark with an injected
+    decoder (captured by value into the task closure — Python workers
+    re-import modules, so module monkeypatching can't reach them)."""
+    import numpy as np
+
+    import singer_tap_spark.ops.multimodal as mm
+
+    class _FakeImg:
+        def __init__(self, data):
+            self._a = np.asarray(data, dtype=np.uint8)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size, resample=None):
+            w, h = size
+            return _FakeImg(np.resize(self._a, (h, w)))
+
+        def __array__(self, dtype=None):
+            return np.asarray(self._a, dtype=dtype)
+
+    class _FakeImage:
+        BILINEAR = 2
+
+        @staticmethod
+        def open(buf):
+            raw = buf.read()
+            if not raw.startswith(b"FAKEPNG"):
+                raise OSError("not an image")
+            return _FakeImg(np.frombuffer(raw[7:], dtype=np.uint8))
+
+    # (a) the real-path math, driver-side
+    monkeypatch.setattr(mm, "Image", _FakeImage, raising=False)
+    good = b"FAKEPNG" + bytes(range(64))
+    v = mm._pil_feature(good, dim=8)
+    assert v is not None and len(v) == 8
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3  # unit-norm
+    assert abs(float(np.sum(v))) < 1e-3          # centered
+    assert mm._pil_feature(b"notanimage", dim=8) is None
+    flat = b"FAKEPNG" + bytes([7] * 64)           # constant image
+    vf = mm._pil_feature(flat, dim=8)
+    assert list(vf) == [1.0] + [0.0] * 7          # fixed basis fallback
+
+    # (b) the routing through Spark, via an injected by-value decoder
+    def fake_decode(raw, dim):
+        if not raw.startswith(b"FAKEPNG"):
+            return None
+        px = np.frombuffer(raw[7:], dtype=np.uint8).astype(np.float64)
+        px = np.resize(px, dim) / 255.0
+        px = px - px.mean()
+        n = np.linalg.norm(px)
+        return (px / n).astype(np.float32) if n > 0 else None
+
+    bad = b"\x00\x01notanimage"
+    df = spark.createDataFrame(
+        [
+            (0, "image", "image/png", 8, 8, None, bytearray(good)),
+            (1, "image", "image/png", 8, 8, None, bytearray(bad)),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in
+           mm.extract_features(df, dim=8, image_decoder=fake_decode).collect()}
+    assert out[0]["decoder"] == "real"
+    assert out[1]["decoder"] == "stub"
+    assert len(out[0]["feature"]) == 8
