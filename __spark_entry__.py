@@ -161,6 +161,17 @@ def q_docs_token_count(spark, sf_dir):
     return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
+def q_docs_bpe_tokens(spark, sf_dir):
+    """Sub-word-ish token budgeting count (BPE-style regex proxy): word
+    pieces + digit runs + single punctuation marks."""
+    from singer_tap_spark.ops.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
 def q_docs_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
@@ -399,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_vs_full_rowcount": q_incremental_vs_full_rowcount,
         "pk_resume_filter": q_pk_resume_filter,
         "docs_token_count": q_docs_token_count,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_lang_id": q_docs_lang_id,
         "docs_quality_score": q_docs_quality_score,
@@ -567,6 +579,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "docs_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]')) AS BIGINT)
+                   AS n_bpe_tokens
             FROM documents
         """,
         "docs_fingerprint": f"""
