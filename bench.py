@@ -146,7 +146,8 @@ def main() -> None:
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_cent = max(8, int(math.isqrt(emb.count())))
-        return _ivf(emb, k=5, n_centroids=n_cent, n_probe=2)
+        return _ivf(emb, k=5, n_centroids=n_cent, n_probe=2,
+                    vectorized_scoring=True)
 
     timed("ivf_ann_prod", lambda: force(_ivf_prod()))
 
