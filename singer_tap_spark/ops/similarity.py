@@ -148,6 +148,7 @@ def lsh_ann_topk(
     n_tables: int = 8,
     seed: int = 42,
     target_bucket_size: int = 32,
+    vectorized_scoring: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs cosine top-k: ``n_tables`` independent LSH
     tables (union of candidates), exact cosine within buckets, top-k per
@@ -188,7 +189,13 @@ def lsh_ann_topk(
         .join(u.select(F.col("id").alias("query_id"), F.col("v").alias("qv")), "query_id")
         .join(u.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv")), "neighbor_id")
         .select(
-            "query_id", "neighbor_id", F.round(_dot("qv", "nv"), 6).alias("cos_sim")
+            "query_id",
+            "neighbor_id",
+            (
+                _pair_dot_udf()(F.col("qv"), F.col("nv"))
+                if vectorized_scoring
+                else F.round(_dot("qv", "nv"), 6)
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -378,6 +385,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 16,
     seed: int = 42,
     target_bucket_size: int = 32,
+    vectorized_scoring: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos_sim >= threshold) via
     LSH buckets — the scale path for the dedup family's embedding variant.
@@ -418,7 +426,12 @@ def embedding_near_dup_pairs(
         .join(u.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
         .join(u.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
     )
+    score = (
+        _pair_dot_udf()(F.col("va"), F.col("vb"))
+        if vectorized_scoring
+        else F.round(_dot("va", "vb"), 6)
+    )
     return (
-        pairs.select("a", "b", F.round(_dot("va", "vb"), 6).alias("cos_sim"))
+        pairs.select("a", "b", score.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

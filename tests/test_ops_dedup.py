@@ -264,3 +264,22 @@ def test_ivf_deterministic_across_parallelism(spark, emb):
     a = {tuple(r) for r in ivf_ann_topk(corpus, n_probe=3).collect()}
     b = {tuple(r) for r in ivf_ann_topk(corpus.repartition(7), n_probe=3).collect()}
     assert a == b
+
+
+def test_vectorized_scoring_matches_hof(spark, emb):
+    """The opt-in numpy pair-scoring kernel must agree with the JVM HOF
+    fold after round(6) on every op that offers it (production flips it on
+    where candidate scoring dominates; entries keep the fold for bit-exact
+    DuckDB parity)."""
+    from singer_tap_spark.ops.similarity import ivf_ann_topk
+
+    e = emb.where(F.col("vec_id") < 150)
+    for fn, kw in [
+        (lsh_ann_topk, dict(k=5, n_planes=2, n_tables=8)),
+        (embedding_near_dup_pairs, dict(threshold=0.35, n_planes=2, n_tables=16)),
+        (ivf_ann_topk, dict(k=5, n_centroids=8, n_probe=3)),
+    ]:
+        a = {tuple(r) for r in fn(e, **kw).collect()}
+        b = {tuple(r) for r in fn(e, vectorized_scoring=True, **kw).collect()}
+        assert a == b, fn.__name__
+        assert len(a) > 0
