@@ -168,3 +168,22 @@ def test_merge_prunes_target_buckets(spark, tmp_path):
     one = p._read_changelog().limit(1)
     stats = p.lake.merge(one, batch_id=99)
     assert stats.affected_buckets == 1
+
+
+def test_ivf_ann_plan_shape(spark):
+    """IVF: probes->lists discovery must be an equi-join on the centroid id
+    (never a cross product), and the quantizer's training collect must be a
+    bounded TakeOrderedAndProject (one O(n) scan, no full sort, no
+    corpus-sized collect)."""
+    from singer_tap_spark.ops.similarity import ivf_ann_topk, with_unit_vec
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(ivf_ann_topk(emb, k=5, n_centroids=8, n_probe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    u = with_unit_vec(emb).select(
+        F.col("vec_id").alias("id"), F.col("_unit").alias("v")
+    )
+    sample_plan = _plan(u.orderBy("id").limit(65536))
+    assert "TakeOrderedAndProject" in sample_plan, sample_plan
