@@ -107,3 +107,37 @@ def test_lineage_json_roundtrip(sh):
             json.dump({"type": "STATE", "value": doc}, f)
         wrapped = Lineage.load(p)
         assert {k: c.offset for k, c in wrapped.streams["t"].items()} == sh
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 63) - 1),
+    st.integers(min_value=0, max_value=14),
+    st.data(),
+)
+@settings(max_examples=300)
+def test_simhash_chunk_pigeonhole(base, max_hamming, data):
+    """THE guarantee the simhash chunk equi-join relies on: for ANY pair of
+    63-bit values within hamming <= H, at least one of the H+1 derived
+    (shift, mask) chunks is equal — so chunk-equality candidate generation
+    never drops a true pair.  Mirrors the chunk derivation in
+    dedup_text.simhash_near_dup_pairs exactly."""
+    n_flips = data.draw(st.integers(min_value=0, max_value=max_hamming))
+    positions = data.draw(
+        st.lists(st.integers(min_value=0, max_value=62), min_size=n_flips,
+                 max_size=n_flips, unique=True)
+    )
+    other = base
+    for p in positions:
+        other ^= 1 << p
+
+    n_chunks = max_hamming + 1
+    width = 63 // n_chunks
+
+    def chunks(v):
+        out = []
+        for c in range(n_chunks):
+            w = 63 - c * width if c == n_chunks - 1 else width
+            out.append((v >> (c * width)) & ((1 << w) - 1))
+        return out
+
+    assert any(a == b for a, b in zip(chunks(base), chunks(other)))
