@@ -119,3 +119,19 @@ def test_cow_open_on_pending_deltas_raises(spark, tmp_path):
     # compact from a mor instance resolves; cow open then works
     p.lake.compact()
     assert cow.read().count() > 0
+
+
+def test_mor_streaming_matches_oracle(spark, tmp_path):
+    """run_streaming with the merge-on-read sink: foreachBatch appends
+    O(batch) deltas, the read resolves LWW — final state equals the DuckDB
+    naive-LWW oracle (r3: streaming no longer carries the state-store dedup,
+    so exact replays in the log must die in the read-time LWW here)."""
+    base = str(tmp_path)
+    df = generate_changelog(spark, 9000, update_frac=0.5, delete_frac=0.1,
+                            dup_frac=0.08)
+    write_changelog(df, f"{base}/log")
+    p = CDCPipeline(spark, _cfg(base, checkpoint_dir=f"{base}/ckpt"))
+    p.run_streaming(available_now=True)
+    got = p.lake.read().select(*COLS).toPandas()
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
+    assert_frames_equal(got, want[COLS], KEYS)
