@@ -182,3 +182,24 @@ def test_pyfiles_zip_imports_standalone(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "zip-import-ok" in r.stdout
+
+
+def test_cli_bench_replay_key_subset(spark, tmp_path, capsys):
+    """--key-subset i:k must process exactly the conversations whose key
+    hash lands in slice i — the four slices partition the corpus."""
+    totals = []
+    for i in range(2):
+        main([
+            "bench-replay", "--events", "3000", "--reps", "1",
+            "--key-subset", f"{i}:2", "--workdir", str(tmp_path / f"w{i}"),
+            "--keep",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        totals.append(out)
+    main([
+        "bench-replay", "--events", "3000", "--reps", "1",
+        "--workdir", str(tmp_path / "all"), "--keep",
+    ])
+    full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert totals[0]["events"] + totals[1]["events"] == full["events"]
+    assert totals[0]["final_rows"] + totals[1]["final_rows"] == full["final_rows"]
