@@ -224,11 +224,18 @@ def _kmeans_centroids(
     not.  Quantizer quality, not exactness, is what matters: list
     assignment and search stay exact Spark-side whatever the centroids.
 
-    Init = first ``n_centroids`` sample vectors in id order; argmin ties
-    break on the lowest centroid index (np.argmin); empty clusters keep
-    their centroid; means re-normalized to the unit sphere.
+    The sample is ordered by ``xxhash64(id)`` (ties on id) — a
+    deterministic pseudo-random draw, still one TakeOrderedAndProject scan;
+    lowest-ids would bias the quantizer on corpora stored in topic/time
+    order.  Init = first ``n_centroids`` sample vectors in that order;
+    argmin ties break on the lowest centroid index (np.argmin); empty
+    clusters keep their centroid; means re-normalized to the unit sphere.
     """
-    rows = u.orderBy("id").limit(max(sample_size, n_centroids)).collect()
+    rows = (
+        u.orderBy(F.xxhash64("id"), "id")
+        .limit(max(sample_size, n_centroids))
+        .collect()
+    )
     x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     if len(x) == 0:
         return []
