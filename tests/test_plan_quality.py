@@ -185,5 +185,5 @@ def test_ivf_ann_plan_shape(spark):
     u = with_unit_vec(emb).select(
         F.col("vec_id").alias("id"), F.col("_unit").alias("v")
     )
-    sample_plan = _plan(u.orderBy("id").limit(65536))
+    sample_plan = _plan(u.orderBy(F.xxhash64("id"), "id").limit(65536))
     assert "TakeOrderedAndProject" in sample_plan, sample_plan
