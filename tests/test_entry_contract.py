@@ -58,3 +58,18 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_all_queries_run_under_ansi_on(spark):
+    """The driver's session may run ANSI ON (the Spark 4 default; our own
+    get_spark pins it off for reference-lenient casts).  Every entry must
+    still EXECUTE there — no wrapping-arithmetic or strict-cast landmines
+    (e.g. sum(xxhash64) overflows under ANSI; bit_xor doesn't).  ANSI is a
+    runtime conf, so flip it on the shared session for the sweep."""
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name, fn in QUERIES.items():
+            df = fn(spark, SF_DIR)
+            assert df.limit(5).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
