@@ -230,10 +230,19 @@ def _kmeans_centroids(
     order.  Init = first ``n_centroids`` sample vectors in that order;
     argmin ties break on the lowest centroid index (np.argmin); empty
     clusters keep their centroid; means re-normalized to the unit sphere.
+
+    ``sample_size`` is additionally capped so the collect stays under
+    ~256 MB of float64 at the corpus dim (at dim 4096 a 64k-row sample
+    would be 2 GB on the driver).
     """
+    first = u.select("v").first()
+    if first is None:
+        return []
+    dim = len(first[0])
+    byte_cap = max(n_centroids, int(256e6 / (dim * 8)))
     rows = (
         u.orderBy(F.xxhash64("id"), "id")
-        .limit(max(sample_size, n_centroids))
+        .limit(max(min(sample_size, byte_cap), n_centroids))
         .collect()
     )
     x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
