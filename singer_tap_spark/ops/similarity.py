@@ -10,10 +10,17 @@
   exact cosine only within buckets.  Hyperplanes are seeded numpy —
   deterministic, broadcast as literal arrays (a few KB).
 
-At 10^9 vectors the bucket join shuffles on the signature — uniform by
+- :func:`ivf_ann_topk` — the inverted-file scale path: k-means coarse
+  quantizer (trained driver-side on a bounded deterministic sample),
+  vectorized Arrow/pandas assignment + probing, exact cosine inside probed
+  lists.
+
+At 10^9 vectors the LSH bucket join shuffles on the signature — uniform by
 construction — and the per-bucket refinement is the brute-force kernel
-applied to ~corpus/2^bits sized groups.  (A production IVF variant would
-k-means the corpus; LSH keeps this dependency-free and deterministic.)
+applied to ~corpus/2^bits sized groups; IVF instead equi-joins on the
+centroid id with ~corpus/k lists (raise k ~ sqrt(n)).  Candidate-pair
+scoring defaults to the JVM fold (bit-exact vs the DuckDB oracles); pass
+``vectorized_scoring=True`` on real workloads.
 """
 
 from __future__ import annotations
