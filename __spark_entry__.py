@@ -161,6 +161,20 @@ def q_docs_token_count(spark, sf_dir):
     return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
+def q_docs_stratified_sample(spark, sf_dir):
+    """Reproducible stratified corpus sampling (language rebalancing):
+    membership is a pure md5(id:seed) function — deterministic at any
+    parallelism and bit-reproducible in DuckDB, so the sample itself is
+    oracle-checked."""
+    from singer_tap_spark.ops.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return stratified_sample(
+        tagged, "lang_pred", {"en": 0.5, "de": 0.25}, default_fraction=0.1
+    )
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Sub-word-ish token budgeting count (BPE-style regex proxy): word
     pieces + digit runs + single punctuation marks."""
@@ -411,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_resume_filter": q_pk_resume_filter,
         "docs_token_count": q_docs_token_count,
         "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_stratified_sample": q_docs_stratified_sample,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_lang_id": q_docs_lang_id,
         "docs_quality_score": q_docs_quality_score,
@@ -580,6 +595,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "docs_stratified_sample": f"""
+            WITH lang AS ({_LANG_SQL}),
+            keyed AS (
+              SELECT doc_id, lang_pred,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                     AS BIGINT) AS k
+              FROM lang
+            )
+            SELECT doc_id, lang_pred FROM keyed
+            WHERE k < CASE lang_pred
+                        WHEN 'en' THEN CAST(0.5  * 4294967296 AS BIGINT)
+                        WHEN 'de' THEN CAST(0.25 * 4294967296 AS BIGINT)
+                        ELSE CAST(0.1 * 4294967296 AS BIGINT) END
         """,
         "docs_bpe_tokens": """
             SELECT doc_id,

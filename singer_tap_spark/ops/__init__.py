@@ -28,3 +28,8 @@ from singer_tap_spark.ops.similarity import (  # noqa: F401
     ivf_ann_topk,
     lsh_ann_topk,
 )
+from singer_tap_spark.ops.sample import (  # noqa: F401
+    deterministic_sample,
+    sample_key,
+    stratified_sample,
+)

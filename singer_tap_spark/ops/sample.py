@@ -1,0 +1,83 @@
+"""Deterministic, reproducible corpus sampling — exact and stratified.
+
+A training-data pipeline must be able to re-run a sample and get the SAME
+rows (ablations, incremental rebuilds, holdout splits).  Spark's
+``df.sample`` / ``sampleBy`` draw per-task random streams, so results change
+with partitioning; these operators instead hash the ROW KEY — membership is
+a pure function of (id, seed), stable at any parallelism, any cluster size,
+any engine.
+
+The key is the first 8 hex chars of ``md5(id ':' seed)`` read as an integer
+uniform in [0, 16^8) — md5 because Spark and DuckDB produce identical
+digests, so every sample is full-SQL-oracle-checkable.  A row is kept when
+its key falls under ``fraction * 16^8``.
+
+Properties (tested):
+- deterministic at any partitioning;
+- NESTED: sample(0.2) is a subset of sample(0.5) at the same seed — growing
+  a sample never reshuffles previously selected rows (the property that
+  makes incremental dataset scaling reproducible);
+- disjoint seeds give independent draws (holdout vs train).
+
+Scale shape: a narrow Catalyst filter — no shuffle, no state, no RNG; at
+10^10 rows it runs inside the scan's whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_KEY_SPACE = 16**8
+
+
+def sample_key(id_col: str, seed: int = 42) -> F.Column:
+    """Uniform [0, 16^8) hash key of (id, seed) — md5-based so DuckDB
+    reproduces it bit-for-bit (``('0x' || substr(md5(...), 1, 8))::BIGINT``)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership a pure function of (id, seed)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction={fraction} outside [0, 1]")
+    return df.where(sample_key(id_col, seed) < int(fraction * _KEY_SPACE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum keep fractions (e.g. language rebalancing:
+    ``{'en': 0.1, 'de': 0.5}``); strata absent from the map keep
+    ``default_fraction``.  Same key as :func:`deterministic_sample`, so the
+    same row stays selected when its stratum's fraction grows."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} = {v} outside [0, 1]")
+    thresholds = F.create_map(
+        *[
+            x
+            for k, v in sorted(fractions.items())
+            for x in (F.lit(k), F.lit(int(v * _KEY_SPACE)))
+        ]
+    )
+    thr = F.coalesce(
+        thresholds[F.col(strata_col)],
+        F.lit(int(default_fraction * _KEY_SPACE)),
+    )
+    return df.where(sample_key(id_col, seed) < thr)
