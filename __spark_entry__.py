@@ -175,6 +175,15 @@ def q_docs_stratified_sample(spark, sf_dir):
     )
 
 
+def q_docs_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment — every doc in exactly one
+    split, reproducible at any parallelism (md5 interval partitioning)."""
+    from singer_tap_spark.ops.sample import assign_splits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_splits(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Sub-word-ish token budgeting count (BPE-style regex proxy): word
     pieces + digit runs + single punctuation marks."""
@@ -426,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_count": q_docs_token_count,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_splits": q_docs_splits,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_lang_id": q_docs_lang_id,
         "docs_quality_score": q_docs_quality_score,
@@ -595,6 +605,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        # interval partitioning of the md5 key space; names iterate in
+        # sorted order (test < train < val) matching assign_splits
+        "docs_splits": """
+            WITH keyed AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                     AS BIGINT) AS k
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN k < CAST(0.1 * 4294967296 AS BIGINT) THEN 'test'
+                   WHEN k < CAST(0.9 * 4294967296 AS BIGINT) THEN 'train'
+                   ELSE 'val' END AS split
+            FROM keyed
         """,
         "docs_stratified_sample": f"""
             WITH lang AS ({_LANG_SQL}),

@@ -29,6 +29,7 @@ from singer_tap_spark.ops.similarity import (  # noqa: F401
     lsh_ann_topk,
 )
 from singer_tap_spark.ops.sample import (  # noqa: F401
+    assign_splits,
     deterministic_sample,
     sample_key,
     stratified_sample,

@@ -81,3 +81,37 @@ def stratified_sample(
         F.lit(int(default_fraction * _KEY_SPACE)),
     )
     return df.where(sample_key(id_col, seed) < thr)
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint dataset splits (train/val/test): the key space
+    is interval-partitioned by cumulative weight, so every row lands in
+    exactly one split, reproducibly, at any parallelism.  Weights must sum
+    to ~1.0 (1e-6 tolerance).
+
+    Leakage note: splitting on ``doc_id`` puts near-duplicate documents in
+    DIFFERENT splits ~at the duplication rate — for contamination-safe
+    splits pass the content key instead (``id_col='fingerprint'`` after
+    ``doc_fingerprint``, or a MinHash cluster id): all copies then share a
+    hash key and land in the same split.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    key = sample_key(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = key < int(acc * _KEY_SPACE)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -62,3 +62,48 @@ def test_sample_rejects_bad_fraction(spark, docs):
         deterministic_sample(docs, 1.5)
     with pytest.raises(ValueError):
         stratified_sample(docs, "lang", {"en": -0.1})
+
+
+def test_splits_partition_exactly(spark, docs):
+    from singer_tap_spark.ops.sample import assign_splits
+
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    by = {r["split"]: r["n"] for r in
+          out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n           # every row in exactly one split
+    assert abs(by.get("train", 0) / n - 0.8) < 0.1
+    # deterministic at any parallelism
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in
+         assign_splits(docs.repartition(5), {"train": 0.8, "val": 0.1, "test": 0.1})
+         .select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_splits_fingerprint_key_keeps_dups_together(spark, docs):
+    """Contamination-safe mode: splitting on the content fingerprint puts
+    exact duplicates in the SAME split."""
+    from singer_tap_spark.ops.sample import assign_splits
+    from singer_tap_spark.ops.text import doc_fingerprint
+
+    doubled = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).withColumn("fingerprint", doc_fingerprint(F.col("text")))
+    out = assign_splits(doubled, {"train": 0.5, "test": 0.5},
+                        id_col="fingerprint")
+    leaks = (
+        out.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+    )
+    assert leaks.count() == 0
+
+
+def test_splits_weights_validated(spark, docs):
+    from singer_tap_spark.ops.sample import assign_splits
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum"):
+        assign_splits(docs, {"train": 0.8, "test": 0.1})
