@@ -106,6 +106,26 @@ def main() -> None:
     queries["cdc_replay_streaming"] = round(stream_s, 3)
     streaming_events_per_sec = round(n_events / stream_s, 1)
 
+    # the delta-feed head (JVM keyed-state impl): per-key UPSERT/DELETE
+    # change feed instead of a materialized table
+    feed_s = None
+    for rep in range(2):
+        cfg_f = PipelineConfig(
+            changelog_path=f"{base}/log",
+            target_path=f"{base}/tgt_f{rep}",
+            lineage_path=f"{base}/lineage_f{rep}.json",
+            checkpoint_dir=f"{base}/ckpt_f{rep}",
+            n_buckets=32,
+        )
+        t0 = time.monotonic()
+        CDCPipeline(spark, cfg_f).run_delta_feed(
+            f"{base}/feed{rep}", available_now=True, impl="merge"
+        )
+        s = time.monotonic() - t0
+        feed_s = s if feed_s is None else min(feed_s, s)
+    queries["cdc_delta_feed"] = round(feed_s, 3)
+    feed_events_per_sec = round(n_events / feed_s, 1)
+
     # --- operator queries at the sf dir -------------------------------------
     Q = entry_mod.queries()
     for name in [
@@ -164,6 +184,7 @@ def main() -> None:
                 "cdc_events": n_events,
                 "cdc_events_per_sec": events_per_sec,
                 "cdc_streaming_events_per_sec": streaming_events_per_sec,
+                "cdc_delta_feed_events_per_sec": feed_events_per_sec,
                 "cpus": cpus,
                 "sink_path": "parquet-cow (no Iceberg jar in sandbox)",
             }

@@ -73,8 +73,13 @@ def _sync(args) -> None:
             p, snap, ts_col=args.bootstrap_ts_col, n_chunks=args.bootstrap_chunks
         )
     if args.delta_feed:
-        p.run_delta_feed(args.delta_feed, available_now=not args.continuous)
-        print(json.dumps({"delta_feed": args.delta_feed}))
+        p.run_delta_feed(
+            args.delta_feed,
+            available_now=not args.continuous,
+            impl=args.delta_feed_impl,
+        )
+        print(json.dumps({"delta_feed": args.delta_feed,
+                          "impl": args.delta_feed_impl}))
         return
     m = p.run_streaming(available_now=not args.continuous) if args.streaming else p.replay(
         n_batches=args.batches
@@ -228,6 +233,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument(
         "--bootstrap-ts-col", default="ts",
         help="snapshot column holding the LWW timestamp",
+    )
+    s.add_argument(
+        "--delta-feed-impl", choices=["merge", "stateful"], default="merge",
+        help="delta-feed engine: 'merge' = JVM keyed-state table (scale "
+             "path); 'stateful' = applyInPandasWithState operator",
     )
     s.add_argument(
         "--specs", default=None,

