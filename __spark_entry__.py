@@ -43,6 +43,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# corpus-doubling offset for planted-duplicate entries; the guard keeps the
+# doubling honest — simhash's groupBy would silently MERGE two docs' tokens
+# under one id if doc_id ever reached the offset (ADVICE r3), so a larger
+# testdata regeneration must fail loudly instead of diverging from the oracle
+_DOUBLE_OFFSET = 100000
+
+
+def _assert_doubling_safe(d: DataFrame, id_col: str = "doc_id") -> None:
+    mx = d.agg(F.max(id_col)).first()[0]
+    if mx is not None and mx >= _DOUBLE_OFFSET:
+        raise AssertionError(
+            f"corpus-doubling collision: max({id_col})={mx} >= offset "
+            f"{_DOUBLE_OFFSET}; raise _DOUBLE_OFFSET (and its oracle twin)"
+        )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: LWW-latest state per (user_id, event_type) — the engine's
     core dedup operator — on sf0.001 events."""
@@ -271,9 +287,10 @@ def q_corpus_curate(spark, sf_dir):
     from singer_tap_spark.ops.curate import curate
 
     d = _t(spark, sf_dir, "documents")
+    _assert_doubling_safe(d)
     doubled = d.unionByName(
-        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
-                 "source", "n_chars")
+        d.select((F.col("doc_id") + _DOUBLE_OFFSET).alias("doc_id"), "text",
+                 "lang", "source", "n_chars")
     )
     out = curate(doubled, min_quality=0.3, min_tokens=5)
     return out.select("doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
@@ -334,8 +351,10 @@ def q_docs_minhash_lsh(spark, sf_dir):
     regression surfaces locally before the driver sees it)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     corpus = d.unionByName(
-        # planted near-dups: same text re-labeled with offset ids
-        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+        # planted near-dups: same text re-labeled with offset ids (the
+        # doc_id < 150 filter makes the offset structurally collision-free)
+        d.select((F.col("doc_id") + _DOUBLE_OFFSET).alias("doc_id"), "text",
+                 "lang", "source", "n_chars")
     )
     return minhash_lsh_candidates(corpus, verify_threshold=0.5).select(
         "a", "b", "jaccard"
@@ -381,7 +400,8 @@ def q_media_frame_sample(spark, sf_dir):
     return out.withColumn("frame_ms", F.col("frame_ms").cast("long"))
 
 
-# rows-only (xxhash64-based — DuckDB cannot reproduce; pytest oracles cover):
+# full-oracle entries (since r3 every queries() key has a DuckDB oracle —
+# the hash-based ops are oracled through exact-verify / probe-all forms):
 
 def q_docs_simhash_dedup(spark, sf_dir):
     """SimHash near-dup dedup, discovery -> verify (retires r2's rows-only
@@ -396,7 +416,10 @@ def q_docs_simhash_dedup(spark, sf_dir):
     from singer_tap_spark.ops.dedup_text import simhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dd = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    _assert_doubling_safe(d)
+    dd = d.unionByName(
+        d.select((F.col("doc_id") + _DOUBLE_OFFSET).alias("doc_id"), "text")
+    )
     cand = simhash_near_dup_pairs(dd, max_hamming=0)
     fp = dd.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
     return (
@@ -607,8 +630,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # interval partitioning of the md5 key space; names iterate in
-        # sorted order (test < train < val) matching assign_splits
-        "docs_splits": """
+        # sorted order (test < train < val) matching assign_splits.
+        # Thresholds are Python-computed integers (int() TRUNCATES) so both
+        # sides share identical cutoffs — DuckDB's CAST(float AS BIGINT)
+        # ROUNDS, a ~2^-32-per-doc latent boundary flake (ADVICE r3)
+        "docs_splits": f"""
             WITH keyed AS (
               SELECT doc_id,
                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
@@ -616,8 +642,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-              CASE WHEN k < CAST(0.1 * 4294967296 AS BIGINT) THEN 'test'
-                   WHEN k < CAST(0.9 * 4294967296 AS BIGINT) THEN 'train'
+              CASE WHEN k < {int(0.1 * 16**8)} THEN 'test'
+                   WHEN k < {int(0.9 * 16**8)} THEN 'train'
                    ELSE 'val' END AS split
             FROM keyed
         """,
@@ -631,9 +657,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang_pred FROM keyed
             WHERE k < CASE lang_pred
-                        WHEN 'en' THEN CAST(0.5  * 4294967296 AS BIGINT)
-                        WHEN 'de' THEN CAST(0.25 * 4294967296 AS BIGINT)
-                        ELSE CAST(0.1 * 4294967296 AS BIGINT) END
+                        WHEN 'en' THEN {int(0.5 * 16**8)}
+                        WHEN 'de' THEN {int(0.25 * 16**8)}
+                        ELSE {int(0.1 * 16**8)} END
         """,
         "docs_bpe_tokens": """
             SELECT doc_id,

@@ -87,6 +87,12 @@ def pack_sequences(
     bin); same output at any parallelism for a fixed ``n_ranges``.  At most
     ``n_ranges`` partially-filled trailing bins — negligible waste at 10^9
     docs.  ``id_col`` must be numeric and unique (it defines pack order).
+
+    Caching: the packed stage is persisted (consumed by the bin-count
+    collect AND by the caller) and auto-unpersisted when the returned
+    DataFrame is garbage-collected — drop the reference (or call
+    ``returned_df._release_pack_cache()``) once written, so repeated calls
+    in a long-lived session don't accumulate cached partitions (ADVICE r3).
     """
     spark = docs.sparkSession
     if n_ranges is None:
@@ -148,9 +154,23 @@ def pack_sequences(
     off_map = F.create_map(
         *[x for i in range(n_ranges) for x in (F.lit(i), F.lit(offsets[i]))]
     )
-    return (
+    result = (
         packed.withColumn(
             "bin", (off_map[F.col("_rng")] + F.col("_local_bin")).cast("long")
         )
         .drop("_rng", "_local_bin")
     )
+
+    # release the cache when the caller is done: explicitly, or for free at
+    # GC of the returned frame (best-effort — session may already be gone)
+    def _release(_packed=packed):
+        try:
+            _packed.unpersist()
+        except Exception:
+            pass
+
+    import weakref
+
+    weakref.finalize(result, _release)
+    result._release_pack_cache = _release
+    return result

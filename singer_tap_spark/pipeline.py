@@ -68,6 +68,11 @@ class PipelineConfig:
     # O15 size-capped sink batches: rows per parquet file at the target
     # (0 = Spark's own sizing) — the 1000-object/2MB split analogue
     max_records_per_file: int = 0
+    # delta-feed state maintenance: the `<feed>_state` table is merge-on-read
+    # (one O(batch) delta append per microbatch — no base rewrite on the hot
+    # path); compact() folds deltas into the base every K batches so state
+    # reads stay O(live keys), not O(batches).  0 = never compact.
+    delta_feed_compact_every: int = 16
 
 
 class CDCPipeline:
@@ -406,8 +411,11 @@ class CDCPipeline:
         ``dropDuplicatesWithinWatermark`` upstream was a redundant
         full-data state shuffle per microbatch (measured 2.5x end-to-end
         on the 2M-event bench log, final tables identical).  The delta
-        feed keeps it (:meth:`run_delta_feed`): its rows are emitted
-        EVENTS, where a replayed duplicate would double-emit."""
+        feed's rows are emitted EVENTS, so IT must not double-emit on
+        replay — the default ``impl='merge'`` gets that from its state
+        join + idempotent ``batch=N`` overwrite + ``_last_batch`` marker
+        (no watermark state needed); only ``impl='stateful'`` keeps the
+        watermarked dedup upstream (see :meth:`run_delta_feed`)."""
         if not self.cfg.checkpoint_dir:
             raise ValueError("checkpoint_dir required for streaming")
         src = self._stream_source(dedup=False)
@@ -515,20 +523,71 @@ class CDCPipeline:
         q.awaitTermination()
 
     def _run_delta_feed_merge(self, feed_path: str, available_now: bool) -> None:
-        """The JVM delta feed (see :meth:`run_delta_feed` impl='merge')."""
+        """The JVM delta feed (see :meth:`run_delta_feed` impl='merge').
+
+        Crash-recovery contract (every window covered — ADVICE r3 high):
+        the sink commits three artifacts in a fixed order per batch —
+        (1) feed rows to ``<feed>/batch=N`` (Spark ``_SUCCESS`` marker),
+        (2) state merge (mor delta append, LWW-idempotent to replays),
+        (3) a ``_last_batch`` marker (atomic rename) inside the state dir.
+        On replay (the streaming checkpoint commits only after the sink
+        returns, so any crash replays batch N):
+
+        - marker >= N: everything committed — skip the batch entirely.
+        - feed ``_SUCCESS`` present, marker < N: crash landed during/after
+          the state merge, so the state may hold ANY partial prefix of the
+          batch.  Recomputing ``changed`` against that advanced state would
+          filter the already-emitted rows and the overwrite would clobber
+          ``batch=N`` with an empty partition — silent feed loss.  Instead:
+          PRESERVE the feed partition and re-merge the full LWW'd batch
+          (not the state-filtered set); replayed rows tie on (ts, seq)
+          inside the state LWW and resolve identically.
+        - no ``_SUCCESS``: the state has not advanced (feed is written
+          first), so ``changed`` recomputes byte-identically and the
+          overwrite rewrites the same partition.
+
+        NOTE: ``feed_path`` and ``checkpoint_dir`` are a pair — reusing a
+        feed path with a fresh checkpoint restarts batch numbering at 0 and
+        the marker would mask the new batches.  Point both at fresh dirs.
+        """
+        import json as _json
+        import os as _os
+
         from singer_tap_spark.dedup import lww_latest
         from singer_tap_spark.lake import SEQ_COL, ParquetLakeTable
 
+        state_path = f"{feed_path}_state"
+        # mor: each microbatch is ONE bucket-partitioned delta append —
+        # O(batch) on the hot path at any state size; compact() folds on a
+        # cadence below (cfg.delta_feed_compact_every) to bound read cost
         state = ParquetLakeTable(
             self.spark,
-            f"{feed_path}_state",
+            state_path,
             key_cols=self.cfg.key_cols,
             bucket_key=self.cfg.key_cols[0],
             n_buckets=self.cfg.n_buckets,
+            mode="mor",
         )
         key_cols = list(self.cfg.key_cols)
+        marker = f"{state_path}/_last_batch.json"
+
+        def _last_applied() -> int:
+            try:
+                with open(marker) as f:
+                    return int(_json.load(f)["batch_id"])
+            except (FileNotFoundError, ValueError, KeyError):
+                return -1
+
+        def _commit_marker(batch_id: int) -> None:
+            _os.makedirs(state_path, exist_ok=True)
+            tmp = f"{marker}.tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"batch_id": batch_id}, f)
+            _os.replace(tmp, marker)  # atomic with respect to readers
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= _last_applied():
+                return  # crash after marker, before checkpoint: all done
             batch = self._normalize(self._project(batch_df))
             payload = [
                 c
@@ -537,8 +596,10 @@ class CDCPipeline:
                 and c not in ("shard", "offset", "seq", "op", "ts", "schema_version")
             ]
             b = lww_latest(batch, key_cols, ("ts", "seq"))
+            feed_dir = f"{feed_path}/batch={batch_id}"
+            feed_committed = _os.path.exists(f"{feed_dir}/_SUCCESS")
             changed = b
-            if state.exists():
+            if not feed_committed and state.exists():
                 prev = state.read_internal().select(
                     *key_cols,
                     F.col("ts").alias("_prev_ts"),
@@ -555,17 +616,28 @@ class CDCPipeline:
                     )
                     .drop("_prev_ts", "_prev_seq")
                 )
-            # feed partition FIRST (idempotent per-batch overwrite), state
-            # merge after — a crash in between replays the batch, which
-            # recomputes the identical `changed` set and rewrites batch=N
-            out = changed.select(*key_cols, "op", *payload, "ts", "seq")
-            out.write.mode("overwrite").parquet(f"{feed_path}/batch={batch_id}")
+            if not feed_committed:
+                # feed partition FIRST (idempotent per-batch overwrite),
+                # state merge after
+                out = changed.select(*key_cols, "op", *payload, "ts", "seq")
+                out.write.mode("overwrite").parquet(feed_dir)
+            # else: feed committed but marker absent — state may be partially
+            # merged; changed stays = b (full batch) and the feed partition
+            # is preserved (see docstring)
             # tombstones persist: the LWW op folds into a payload column so
             # DELETE winners stay as state rows guarding late older events
             sb = changed.withColumn("_feed_op", F.col("op")).withColumn(
                 "op", F.lit("UPSERT")
             )
             state.merge(sb, batch_id)
+            _commit_marker(batch_id)
+            # cadenced fold of mor deltas into the base (itself crash-safe:
+            # deltas replayed over the new base tie on (ts, _seq)); runs
+            # after the marker so a crash mid-compact skips straight past
+            # the batch on replay and compaction retries at the next cadence
+            every = self.cfg.delta_feed_compact_every
+            if every and (batch_id + 1) % every == 0:
+                state.compact()
 
         src = self._stream_source(dedup=False)
         writer = src.writeStream.foreachBatch(_sink).option(
