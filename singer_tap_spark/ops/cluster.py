@@ -1,0 +1,143 @@
+"""Near-dup cluster resolution — pairs -> connected components -> canonical id.
+
+The dedup family (MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine)
+stops at PAIRS; near-duplication is not transitive (a~b and b~c do not imply
+a~c), so transitive chains need component resolution before a corpus can
+keep exactly one survivor per duplicate group, and before
+:func:`singer_tap_spark.ops.sample.assign_splits` can take a
+contamination-safe content-cluster key (its docstring's "MinHash cluster
+id" — this operator produces it).  The reference resolves duplicates per-PK
+at the destination (cmd/internal/http_record_writer.go:184-191 key map);
+at corpus scale the analogue is a canonical id per CONNECTED near-dup set.
+
+Algorithm: iterative min-label propagation with path compression
+("alternating" connected components in MapReduce — Kiveris et al., SoCC'14;
+hash-to-min, Rastogi et al., ICDE'13 — both public literature):
+
+  label(v) <- min(label(v), min over neighbors u of label(u))   # propagate
+  label(v) <- label(label(v))                                   # compress
+
+Propagation alone needs O(diameter) rounds; the compression step doubles
+the distance a minimum travels per round, giving O(log n) convergence on
+paths — the difference between 64 rounds and 7 on a 64-chain (tested).
+
+Scale shape (10^10 nodes): each round is two key-equi-joins + one
+partial-agg min — all shuffles on the id, no cartesian anywhere; the edge
+set is symmetrized once and persisted; labels are ``localCheckpoint``-ed
+every round so the iterative plan never grows (lineage truncation — the
+classic iterative-join OOM).  On a real cluster prefer
+``checkpoint='reliable'`` (HDFS/S3 checkpoint dir via
+``spark.sparkContext.setCheckpointDir``) so a lost executor doesn't force a
+full recompute.  Convergence is detected by counting strictly-decreased
+labels (labels only ever decrease, so a zero-count round is a fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def near_dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 64,
+    checkpoint: str | None = "local",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph.
+
+    Parameters
+    ----------
+    ids : node set (one row per document; extra columns ignored).  Nodes
+        absent from every pair come out as singleton clusters of themselves.
+    pairs : edge set (``a_col``, ``b_col``) — e.g. the output of
+        ``ngram_jaccard_pairs`` / ``minhash_lsh_candidates`` /
+        ``simhash_near_dup_pairs`` / ``embedding_near_dup_pairs``.
+    checkpoint : 'local' (default — executor-storage lineage truncation),
+        'reliable' (requires ``setCheckpointDir``), or None (tests only:
+        plans grow per round).
+
+    Returns ``(id_col, out_col)`` with ``out_col`` = the MINIMUM member id
+    of the component — deterministic at any parallelism, any round count.
+    Ids must be an orderable type (long doc ids, md5 fingerprints, ...).
+    """
+    nodes = ids.select(F.col(id_col).alias("id")).distinct()
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    # edge endpoints may name ids outside `ids` (caller filtered the corpus
+    # after pairing); take the union so every labeled node exists
+    nodes = nodes.unionByName(edges.select(F.col("u").alias("id"))).distinct()
+    edges = edges.persist()
+
+    labels = nodes.withColumn("label", F.col("id"))
+    if checkpoint == "local":
+        labels = labels.localCheckpoint(eager=True)
+    elif checkpoint == "reliable":
+        labels = labels.checkpoint(eager=True)
+
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # propagate: min neighbor label per node (partial-agg min — a hot
+        # node ships one candidate per input partition, never its degree)
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("u"), F.col("label").alias("ul")),
+                "u",
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("ul").alias("nl"))
+        )
+        prop = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # compress: label <- label(label) (pointer doubling; the label set
+        # is always a subset of the id set, so the lookup join always hits)
+        new = (
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("id").alias("label"), F.col("label").alias("ll")
+                ).alias("y"),
+                "label",
+                "left",
+            )
+            .select("id", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
+        )
+        if checkpoint == "local":
+            new = new.localCheckpoint(eager=True)
+        elif checkpoint == "reliable":
+            new = new.checkpoint(eager=True)
+        # labels only decrease: zero strict decreases == fixpoint
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_rounds} rounds "
+            "(raise max_rounds; O(log n) expected)"
+        )
+
+    edges.unpersist()
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias(out_col))
+    # rounds surfaced for tests/diagnostics (O(log n) convergence gate)
+    out._cc_rounds = rounds
+    return out

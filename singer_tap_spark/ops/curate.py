@@ -37,18 +37,29 @@ def curate(
     languages: tuple[str, ...] | None = None,
     near_dup_jaccard: float | None = None,
     near_dup_hamming: int | None = None,
+    cluster_resolve: bool = False,
 ) -> DataFrame:
     """Curated corpus: annotated, filtered, exact-deduped (and optionally
     near-deduped).  Output keeps the original columns plus
     (n_tokens, quality, lang_pred, fingerprint).
 
-    Near-dup removal, lower id survives each pair: ``near_dup_jaccard``
-    routes through MinHash-LSH + candidates-only exact-Jaccard verify;
-    ``near_dup_hamming`` routes through SimHash chunk-join pairs (cheaper —
-    one signature pass, no shingle explode — coarser).  Valid hamming range
-    is 0..14: the chunk count is derived as hamming+1 so the pigeonhole
-    guarantee always holds (out-of-range raises in simhash_near_dup_pairs);
-    for looser similarity use the Jaccard route."""
+    Near-dup removal: ``near_dup_jaccard`` routes through MinHash-LSH +
+    candidates-only exact-Jaccard verify; ``near_dup_hamming`` routes
+    through SimHash chunk-join pairs (cheaper — one signature pass, no
+    shingle explode — coarser).  Valid hamming range is 0..14: the chunk
+    count is derived as hamming+1 so the pigeonhole guarantee always holds
+    (out-of-range raises in simhash_near_dup_pairs); for looser similarity
+    use the Jaccard route.
+
+    Survivor policy over the discovered pairs:
+    - default (``cluster_resolve=False``): greedy — the LOWER id of each
+      pair survives (drop every ``b``).  Cheap (one anti-join) but a
+      component can keep several local minima: ids 1-3, 2-3 keeps BOTH
+      1 and 2 even though they are transitively connected through 3.
+    - ``cluster_resolve=True``: resolve connected components over the pair
+      graph (:func:`singer_tap_spark.ops.cluster.near_dup_clusters`) and
+      keep exactly the MIN id per component — one survivor per transitive
+      near-dup chain, the policy a training corpus actually wants."""
     t = F.col(text_col)
     annotated = docs.select(
         "*",
@@ -67,19 +78,44 @@ def curate(
     keep = gated.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     out = gated.join(keep, ["fingerprint", id_col])  # semi-join by key pair
 
-    if near_dup_jaccard is not None:
-        pairs = minhash_lsh_candidates(
-            out, text_col=text_col, id_col=id_col,
+    def _pairs_jaccard(corpus):
+        return minhash_lsh_candidates(
+            corpus, text_col=text_col, id_col=id_col,
             verify_threshold=near_dup_jaccard,
-        )
-        losers = pairs.select(F.col("b").alias(id_col)).distinct()
-        out = out.join(losers, id_col, "left_anti")
-    if near_dup_hamming is not None:
+        ).select("a", "b")
+
+    def _pairs_hamming(corpus):
         from singer_tap_spark.ops.dedup_text import simhash_near_dup_pairs
 
-        pairs = simhash_near_dup_pairs(
-            out, text_col=text_col, id_col=id_col, max_hamming=near_dup_hamming
-        )
-        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        return simhash_near_dup_pairs(
+            corpus, text_col=text_col, id_col=id_col,
+            max_hamming=near_dup_hamming,
+        ).select("a", "b")
+
+    routes = []
+    if near_dup_jaccard is not None:
+        routes.append(_pairs_jaccard)
+    if near_dup_hamming is not None:
+        routes.append(_pairs_hamming)
+    if not routes:
+        return out
+
+    if cluster_resolve:
+        # one pair graph over the full corpus (both routes' edges union),
+        # one component resolution, exactly min-per-component survives
+        from functools import reduce
+
+        from singer_tap_spark.ops.cluster import near_dup_clusters
+
+        pairs = reduce(lambda x, y: x.unionByName(y), (r(out) for r in routes))
+        clusters = near_dup_clusters(out.select(id_col), pairs, id_col=id_col)
+        survivors = clusters.where(
+            F.col(id_col) == F.col("cluster_id")
+        ).select(id_col)
+        return out.join(survivors, id_col, "left_semi")
+
+    # greedy: routes apply sequentially, each over the already-thinned corpus
+    for route in routes:
+        losers = route(out).select(F.col("b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
     return out

@@ -97,9 +97,11 @@ def assign_splits(
 
     Leakage note: splitting on ``doc_id`` puts near-duplicate documents in
     DIFFERENT splits ~at the duplication rate — for contamination-safe
-    splits pass the content key instead (``id_col='fingerprint'`` after
-    ``doc_fingerprint``, or a MinHash cluster id): all copies then share a
-    hash key and land in the same split.
+    splits pass the content key instead: ``id_col='fingerprint'`` (after
+    ``doc_fingerprint``) for exact copies, or the near-dup cluster id from
+    :func:`singer_tap_spark.ops.cluster.near_dup_clusters` over LSH/SimHash
+    pairs for transitive chains — all copies then share a hash key and land
+    in the same split.
     """
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-6:

@@ -1,0 +1,142 @@
+"""Near-dup cluster resolution (connected components, min-label + path
+compression): transitivity, O(log n) convergence, determinism, and the
+curate() min-per-cluster survivor policy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from singer_tap_spark.ops.cluster import near_dup_clusters
+
+
+def _clusters(spark, ids, pairs, **kw):
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pdf = (
+        spark.createDataFrame(pairs, "a long, b long")
+        if pairs
+        else spark.createDataFrame([], "a long, b long")
+    )
+    out = near_dup_clusters(idf, pdf, **kw)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}, out
+
+
+def test_three_chain_transitivity(spark):
+    """a~b, b~c, a NOT ~ c -> one cluster rooted at min(a) (VERDICT r3 #1:
+    the greedy pair-loser policy cannot express this)."""
+    got, _ = _clusters(spark, [1, 2, 3, 9], [(1, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_singletons_and_empty_pairs(spark):
+    got, _ = _clusters(spark, [4, 7, 11], [])
+    assert got == {4: 4, 7: 7, 11: 11}
+
+
+def test_multiple_components_and_unordered_edges(spark):
+    # edges in either orientation, min not an edge endpoint ordering artifact
+    got, _ = _clusters(
+        spark, list(range(10)), [(5, 2), (2, 8), (9, 7), (3, 1), (1, 0)]
+    )
+    assert got[2] == got[5] == got[8] == 2
+    assert got[7] == got[9] == 7
+    assert got[0] == got[1] == got[3] == 0
+    assert got[4] == 4 and got[6] == 6
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    """A 64-node path is the worst case for plain propagation (63 rounds);
+    path compression must land it in O(log n) (<= ~10)."""
+    n = 64
+    got, out = _clusters(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
+    assert all(v == 0 for v in got.values())
+    assert out._cc_rounds <= 10
+
+
+def test_endpoints_outside_ids_and_star(spark):
+    # hub-and-spoke + an edge naming a node absent from ids
+    got, _ = _clusters(spark, [10, 11, 12], [(10, 11), (11, 12), (12, 99)])
+    assert got[10] == got[11] == got[12] == got[99] == 10
+
+
+def test_deterministic_across_partitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(200))
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    idf1 = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(1)
+    idf2 = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(13)
+    pdf1 = spark.createDataFrame(pairs, "a long, b long").repartition(1)
+    pdf2 = spark.createDataFrame(pairs, "a long, b long").repartition(17)
+    r1 = {r["doc_id"]: r["cluster_id"]
+          for r in near_dup_clusters(idf1, pdf1).collect()}
+    r2 = {r["doc_id"]: r["cluster_id"]
+          for r in near_dup_clusters(idf2, pdf2).collect()}
+    assert r1 == r2
+    # ground truth via union-find on the driver
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    assert r1 == want
+
+
+def test_string_ids(spark):
+    """Ids need only be orderable — md5 fingerprints / cluster keys work."""
+    idf = spark.createDataFrame([("cc",), ("aa",), ("bb",)], "doc_id string")
+    pdf = spark.createDataFrame([("cc", "bb")], "a string, b string")
+    out = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(idf, pdf).collect()}
+    assert out == {"aa": "aa", "bb": "bb", "cc": "bb"}
+
+
+def test_nonconvergence_raises(spark):
+    idf = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(39)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(idf, pdf, max_rounds=2)
+
+
+def test_curate_cluster_resolve_one_survivor_per_chain(spark):
+    """curate(cluster_resolve=True) keeps exactly min-id per transitive
+    near-dup component; the greedy default can keep extra local minima."""
+    from singer_tap_spark.ops.curate import curate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find some tasty food for dinner"
+    )
+    # docs 1 and 2 are both near-dups of 3 but NOT of each other enough?
+    # Use exact copies through a middle doc: 1~3 and 2~3 via high overlap,
+    # 1 and 2 mutually less similar. Greedy drops only 'b' sides; with ids
+    # chosen so 3 is the shared neighbor, greedy keeps {1, 2}, cluster
+    # resolution keeps {1}.
+    d1 = base + " alpha alpha alpha alpha alpha alpha alpha alpha alpha"
+    d3 = base + " alpha alpha alpha alpha beta beta beta beta gamma"
+    d2 = base + " beta beta beta beta beta beta beta beta beta gamma gamma"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (50, "totally different content here "
+          "about completely unrelated matters of maritime navigation law "
+          "and the history of lighthouse construction in northern europe")],
+        "doc_id long, text string",
+    )
+    greedy = curate(docs, min_quality=0.0, min_tokens=1, near_dup_jaccard=0.9)
+    clustered = curate(
+        docs, min_quality=0.0, min_tokens=1, near_dup_jaccard=0.9,
+        cluster_resolve=True,
+    )
+    g = {r["doc_id"] for r in greedy.select("doc_id").collect()}
+    c = {r["doc_id"] for r in clustered.select("doc_id").collect()}
+    # the clustered survivor set is exactly one per component
+    assert c == {1, 50}
+    # greedy kept the extra local minimum (2 is never a 'b' loser of a pair
+    # with a survivor) — the policy difference this feature exists for
+    assert g == {1, 2, 50}
