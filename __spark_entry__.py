@@ -255,6 +255,36 @@ def q_docs_dup_clusters(spark, sf_dir):
     return near_dup_clusters(d.select("doc_id"), pairs)
 
 
+def q_docs_dup_incremental(spark, sf_dir):
+    """Incremental dedup vs a persisted MinHash index (VERDICT r3 #3): the
+    corpus slice's signatures are computed ONCE into a keyed lake table;
+    the batch slice (new docs + planted dups of corpus docs) dedups by
+    JOINING against the index — zero corpus recomputation.  Output = all
+    near-dup pairs touching the batch; pytest proves it equals the
+    full-corpus recompute, and the oracle is the exact-Jaccard SQL over
+    the combined slices restricted to batch-touching pairs (banding recall
+    measured complete at 0.5 on this corpus — same argument as
+    docs_minhash_lsh)."""
+    import tempfile
+
+    from singer_tap_spark.ops.incremental import MinHashIndex
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    corpus = d.where(F.col("doc_id") < 100)
+    batch = d.where(F.col("doc_id") >= 100).unionByName(
+        d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + _DOUBLE_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    idx = MinHashIndex(spark, tempfile.mkdtemp(prefix="mh_idx_"))
+    idx.upsert(corpus, batch_id=0)
+    return idx.dedup_batch(batch, verify_threshold=0.5).select("a", "b", "jaccard")
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
@@ -483,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dup_incremental": q_docs_dup_incremental,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "docs_quality_topk": q_docs_quality_topk,
@@ -855,6 +886,33 @@ def oracle_sql() -> dict[str, str]:
               round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
             FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+        """,
+        # incremental dedup: exact-Jaccard pairs over corpus (<100) + batch
+        # (>=100: new docs 100..149 and planted copies of docs <30 at the
+        # doubling offset), restricted to pairs touching the batch side
+        "docs_dup_incremental": """
+            WITH base AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 150
+            ), docs AS (
+              SELECT doc_id AS id, t FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS id, t FROM base WHERE doc_id < 30
+            ), sh AS (
+              SELECT DISTINCT id, substr(t, i, 4) AS shingle
+              FROM docs, unnest(range(1, greatest(length(t) - 3, 1) + 1)) AS u(i)
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), pairs AS (
+              SELECT l.id AS a, r.id AS b, count(*) AS inter
+              FROM sh l JOIN sh r USING (shingle) WHERE l.id < r.id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+              round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+            WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+              AND (a >= 100 OR b >= 100)
         """,
         # LSH-ANN: measured exact vs brute force at the entry's settings, so
         # the oracle is the exact top-k SQL (same kernel as emb_cosine_topk).

@@ -153,11 +153,41 @@ def minhash_lsh_candidates(
     signature agreement fraction; ``verify_threshold`` adds the exact
     n-gram Jaccard filter on candidates only.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    bands_df = sig.select(
+
+    # candidate pairs travel BARE (a, b): the band join and the pair-dedup
+    # shuffle move 16-byte rows, not 2x num_hashes-long signature arrays
+    # (on a template-heavy corpus the banding emits ~1e6 collisions per 5e3
+    # docs — carrying signatures through that shuffle was the r1 hot spot);
+    # signatures re-attach afterwards via two joins against the small
+    # per-doc sig table, which AQE turns into broadcasts when it fits
+    slim = band_rows(sig, num_hashes, bands)
+    cand = (
+        slim.alias("l")
+        .join(slim.alias("r"), ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return _estimate_and_verify(
+        cand,
+        sig,
+        shingle_arrays(df, text_col, id_col, shingle_n),
+        num_hashes,
+        verify_threshold,
+        est_margin,
+    )
+
+
+def band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH band keys derived from a signature table —
+    one narrow explode, no shuffle.  Shared by the full-corpus pass and the
+    persisted index (the index stores SIGNATURES, not exploded bands —
+    16x fewer stored rows; deriving bands is a free projection at query
+    time)."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -171,22 +201,36 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
-    # candidate pairs travel BARE (a, b): the band join and the pair-dedup
-    # shuffle move 16-byte rows, not 2x num_hashes-long signature arrays
-    # (on a template-heavy corpus the banding emits ~1e6 collisions per 5e3
-    # docs — carrying signatures through that shuffle was the r1 hot spot);
-    # signatures re-attach afterwards via two joins against the small
-    # per-doc sig table, which AQE turns into broadcasts when it fits
-    slim = bands_df.select("id", "band", "bucket")
-    cand = (
-        slim.alias("l")
-        .join(slim.alias("r"), ["band", "bucket"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .dropDuplicates(["a", "b"])
+
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 4,
+) -> DataFrame:
+    """(id, sh, sz): per-doc DISTINCT shingle array + size — the exact-
+    Jaccard verify payload (one linear pass, JVM-side)."""
+    return (
+        _with_norm(df, text_col, id_col)
+        .select("id", _shingle_arr(shingle_n, distinct=True).alias("sh"))
+        .withColumn("sz", F.size("sh"))
     )
+
+
+def _estimate_and_verify(
+    cand: DataFrame,
+    sig: DataFrame,
+    sh_arr: DataFrame,
+    num_hashes: int,
+    verify_threshold: float | None,
+    est_margin: float,
+) -> DataFrame:
+    """Estimator + exact-verify over bare candidate pairs — shared by the
+    full-corpus pass and the incremental index (ops/incremental.py), so
+    batch-vs-index results are definitionally the same math.
+
+    ``sig``: (id, sig) covering every id in ``cand``; ``sh_arr``:
+    (id, sh, sz) likewise."""
     est = (
         cand.join(sig.select(F.col("id").alias("a"), F.col("sig").alias("siga")), "a")
         .join(sig.select(F.col("id").alias("b"), F.col("sig").alias("sigb")), "b")
@@ -220,9 +264,6 @@ def minhash_lsh_candidates(
     # build shingle arrays + two equi-joins on id; when the candidate set is
     # small AQE turns the semi side into a broadcast join and only candidate
     # docs' arrays ever shuffle.
-    sh_arr = _with_norm(df, text_col, id_col).select(
-        "id", _shingle_arr(shingle_n, distinct=True).alias("sh")
-    ).withColumn("sz", F.size("sh"))
     verified = (
         est.join(
             sh_arr.select(
