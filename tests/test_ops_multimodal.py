@@ -155,3 +155,81 @@ def test_pil_real_path_via_fake_codec(spark, monkeypatch):
     assert out[0]["decoder"] == "real"
     assert out[1]["decoder"] == "stub"
     assert len(out[0]["feature"]) == 8
+
+
+def _wav_bytes(samples, framerate=8000, sampwidth=2, nchannels=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nchannels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        a = np.asarray(samples)
+        if sampwidth == 2:
+            w.writeframes(a.astype(np.int16).tobytes())
+        elif sampwidth == 1:
+            w.writeframes((a + 128).astype(np.uint8).tobytes())
+        else:
+            w.writeframes(a.astype(np.int32).tobytes())
+    return buf.getvalue()
+
+
+def test_wav_real_decode_routing(spark):
+    """VERDICT r3 #7: a valid in-memory PCM WAV routes to decoder='real'
+    through the stdlib wave path; undecodable audio payloads keep the
+    labeled stub fallback.  No external codec lib involved."""
+    import numpy as np
+
+    from singer_tap_spark.ops.multimodal import MEDIA_SCHEMA, extract_features
+
+    t = np.arange(4000)
+    # ramped amplitude: the energy ENVELOPE must vary across segments or
+    # centering yields the all-zero vector (silence fallback)
+    tone = np.sin(2 * np.pi * 440 * t / 8000) * (t / 4000) * 20000
+    good = _wav_bytes(tone)
+    df = spark.createDataFrame(
+        [
+            (0, "audio", "audio/wav", None, None, 500, bytearray(good)),
+            (1, "audio", "audio/wav", None, None, 500, bytearray(b"notawav")),
+            # a WAV payload labeled video must NOT take the audio path
+            (2, "video", "video/x", None, None, 500, bytearray(good)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in extract_features(df, dim=8).collect()}
+    assert out[0]["decoder"] == "real"
+    assert out[1]["decoder"] == "stub"
+    assert out[2]["decoder"] == "stub"
+    v = out[0]["feature"]
+    assert len(v) == 8
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-3  # unit-norm
+    assert abs(sum(v)) < 1e-3  # centered
+
+
+def test_wav_feature_math_driver_side():
+    """Stereo mixdown, 8/16-bit widths, silence fallback, determinism."""
+    import numpy as np
+
+    from singer_tap_spark.ops.multimodal import _wav_feature
+
+    tone = np.sin(np.linspace(0, 40 * np.pi, 2000)) * np.linspace(100, 2000, 2000)
+    mono = _wav_feature(_wav_bytes(tone), 8)
+    assert mono is not None and len(mono) == 8
+    assert _wav_feature(_wav_bytes(tone), 8).tolist() == mono.tolist()
+
+    stereo = np.repeat(tone, 2)  # L==R interleaved
+    ms = _wav_feature(_wav_bytes(stereo, nchannels=2), 8)
+    assert np.allclose(ms, mono, atol=1e-5)  # mixdown of identical channels
+
+    eight = _wav_feature(_wav_bytes((tone / 256), sampwidth=1), 8)
+    assert eight is not None and abs(np.linalg.norm(eight) - 1.0) < 1e-3
+
+    silence = _wav_feature(_wav_bytes(np.zeros(1000)), 8)
+    assert silence.tolist() == [1.0] + [0.0] * 7  # fixed basis fallback
+
+    assert _wav_feature(b"", 8) is None
+    assert _wav_feature(b"RIFFgarbage", 8) is None
