@@ -138,6 +138,8 @@ def main() -> None:
         "docs_fingerprint",
         "docs_exact_dedup",
         "docs_ngram_jaccard",
+        "docs_dup_clusters",
+        "docs_dup_incremental",
         "docs_minhash_lsh",
         "docs_simhash_dedup",
         "emb_cosine_topk",
