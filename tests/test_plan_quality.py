@@ -260,3 +260,37 @@ def test_ivf_default_centroids_adaptive(spark):
     }
     assert got == want
     assert got != old_default  # the default really changed partitioning
+
+
+def test_cluster_and_incremental_plan_shape(spark, tmp_path):
+    """New-in-r4 ops keep the scale contract: no cartesian anywhere, the
+    iterative CC result's lineage is TRUNCATED (localCheckpoint: the final
+    plan must not be a tower of per-round joins), and the incremental
+    index's signature agg stays partial (map-side combine)."""
+    import tempfile
+
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+    from singer_tap_spark.ops.dedup_text import ngram_jaccard_pairs
+    from singer_tap_spark.ops.incremental import MinHashIndex
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    out = near_dup_clusters(d.select("doc_id"), pairs)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lineage truncation: the returned frame reads the checkpointed RDD,
+    # not the full round-by-round join tower
+    assert "ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+    idx = MinHashIndex(spark, tempfile.mkdtemp(dir=str(tmp_path)))
+    idx.upsert(d.where(F.col("doc_id") < 40), batch_id=0)
+    dplan = _plan(idx.dedup_batch(d.where(F.col("doc_id") >= 40)))
+    assert "CartesianProduct" not in dplan
+    assert "BroadcastNestedLoopJoin" not in dplan
+    assert "partial_min" in dplan  # batch signature agg is map-side partial
