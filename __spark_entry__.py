@@ -255,6 +255,25 @@ def q_docs_dup_clusters(spark, sf_dir):
     return near_dup_clusters(d.select("doc_id"), pairs)
 
 
+def q_docs_splits_safe(spark, sf_dir):
+    """Contamination-safe train/val/test splits END-TO-END: near-dup pairs
+    -> connected components -> md5-interval split on the CLUSTER id, so
+    every member of a transitive near-dup chain lands in the same split
+    (the leakage mode assign_splits' docstring warns about, now closed by
+    a composed pipeline of shipped operators).  Full oracle: the
+    recursive-CTE closure + the identical truncated-integer thresholds."""
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+    from singer_tap_spark.ops.dedup_text import ngram_jaccard_pairs
+    from singer_tap_spark.ops.sample import assign_splits
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    clusters = near_dup_clusters(d.select("doc_id"), pairs)
+    return assign_splits(
+        clusters, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="cluster_id"
+    )
+
+
 def q_docs_dup_incremental(spark, sf_dir):
     """Incremental dedup vs a persisted MinHash index (VERDICT r3 #3): the
     corpus slice's signatures are computed ONCE into a keyed lake table;
@@ -514,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dup_incremental": q_docs_dup_incremental,
+        "docs_splits_safe": q_docs_splits_safe,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "docs_quality_topk": q_docs_quality_topk,
@@ -886,6 +906,47 @@ def oracle_sql() -> dict[str, str]:
               round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
             FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+        """,
+        # contamination-safe splits: the dup-clusters closure + the md5
+        # interval split keyed on cluster_id (same truncated thresholds as
+        # docs_splits — int() truncation inlined on both sides)
+        "docs_splits_safe": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id AS id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 150
+            ), sh AS (
+              SELECT DISTINCT id, substr(t, i, 3) AS shingle
+              FROM base, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS u(i)
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), raw AS (
+              SELECT l.id AS a, r.id AS b, count(*) AS inter
+              FROM sh l JOIN sh r USING (shingle) WHERE l.id < r.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b
+              FROM raw JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+              WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ), edges AS (
+              SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(id, l) AS (
+              SELECT id, id FROM base
+              UNION
+              SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+            ), clusters AS (
+              SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
+            ), keyed AS (
+              SELECT doc_id, cluster_id,
+                CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':42'), 1, 8))
+                     AS BIGINT) AS k
+              FROM clusters
+            )
+            SELECT doc_id, cluster_id,
+              CASE WHEN k < {int(0.1 * 16**8)} THEN 'test'
+                   WHEN k < {int(0.9 * 16**8)} THEN 'train'
+                   ELSE 'val' END AS split
+            FROM keyed
         """,
         # incremental dedup: exact-Jaccard pairs over corpus (<100) + batch
         # (>=100: new docs 100..149 and planted copies of docs <30 at the

@@ -140,3 +140,17 @@ def test_curate_cluster_resolve_one_survivor_per_chain(spark):
     # greedy kept the extra local minimum (2 is never a 'b' loser of a pair
     # with a survivor) — the policy difference this feature exists for
     assert g == {1, 2, 50}
+
+
+def test_contamination_safe_splits_no_cluster_spans_splits(spark):
+    """The composed pipeline (pairs -> clusters -> split on cluster id):
+    every near-dup cluster lands whole in exactly one split."""
+    import __spark_entry__ as E
+
+    out = E.q_docs_splits_safe(spark, "/root/testdata/sf0.001")
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    assert per_cluster.where("n_splits > 1").count() == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
