@@ -16,7 +16,10 @@ from singer_tap_spark.ops.text import (  # noqa: F401
     token_count,
 )
 from singer_tap_spark.ops.cluster import near_dup_clusters  # noqa: F401
-from singer_tap_spark.ops.incremental import MinHashIndex  # noqa: F401
+from singer_tap_spark.ops.incremental import (  # noqa: F401
+    MinHashIndex,
+    SimHashIndex,
+)
 from singer_tap_spark.ops.dedup_text import (  # noqa: F401
     exact_dedup,
     minhash_lsh_candidates,

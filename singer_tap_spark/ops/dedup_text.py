@@ -338,6 +338,32 @@ def simhash(
     )
 
 
+def simhash_chunk_rows(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(id, simhash, ci, cv) pigeonhole chunk keys derived from a simhash
+    signature table — H+1 chunks over the 63 usable bits, last chunk absorbs
+    the remainder.  One narrow explode, no shuffle; shared by the
+    full-corpus pass and the persisted index (ops/incremental.py)."""
+    n_chunks = max_hamming + 1
+    width = 63 // n_chunks
+    return sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("ci"),
+                    F.shiftright(F.col("simhash"), c * width)
+                    .bitwiseAND(
+                        F.lit((1 << (63 - c * width if c == n_chunks - 1 else width)) - 1)
+                    )
+                    .alias("cv"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ch"),
+    ).select("id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -367,26 +393,8 @@ def simhash_near_dup_pairs(
             "degenerate; use 0 <= max_hamming <= 14 (or MinHash-LSH for "
             "looser similarity)"
         )
-    n_chunks = max_hamming + 1
-    width = 63 // n_chunks  # last chunk absorbs the remainder bits
     sig = simhash(df, text_col, id_col)
-    chunks = sig.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("ci"),
-                    F.shiftright(F.col("simhash"), c * width)
-                    .bitwiseAND(
-                        F.lit((1 << (63 - c * width if c == n_chunks - 1 else width)) - 1)
-                    )
-                    .alias("cv"),
-                )
-                for c in range(n_chunks)
-            ])
-        ).alias("ch"),
-    ).select("id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    chunks = simhash_chunk_rows(sig, max_hamming)
     cand = (
         chunks.alias("l")
         .join(chunks.alias("r"), ["ci", "cv"])

@@ -107,3 +107,47 @@ def test_reingested_doc_replaces_signature(spark, tmp_path):
     assert idx.read_signatures().count() == 1
     got = _pairs(idx.dedup_batch(batch, verify_threshold=0.9))
     assert {(a, b) for a, b, *_ in got} == {(1, 2)}
+
+
+def test_simhash_batch_vs_index_equals_full_recompute(spark, tmp_path):
+    """SimHash flavor: dedup_batch == simhash_near_dup_pairs on the
+    combined corpus, restricted to batch-touching pairs (exact-by-
+    construction: the verify is bit_count over the same signatures)."""
+    from singer_tap_spark.ops.dedup_text import simhash_near_dup_pairs
+    from singer_tap_spark.ops.incremental import SimHashIndex
+
+    d = _docs(spark).where(F.col("doc_id") < 150)
+    corpus = d.where(F.col("doc_id") < 100)
+    batch = d.where(F.col("doc_id") >= 100).unionByName(
+        d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    idx = SimHashIndex(spark, str(tmp_path / "sidx"))
+    idx.upsert(corpus, batch_id=0)
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in idx.dedup_batch(batch, max_hamming=2).collect()
+    }
+    full = simhash_near_dup_pairs(corpus.unionByName(batch), max_hamming=2)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {
+        (r["a"], r["b"], r["hamming"])
+        for r in full.collect()
+        if r["a"] in batch_ids or r["b"] in batch_ids
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_simhash_index_reingest_and_params(spark, tmp_path):
+    from singer_tap_spark.ops.incremental import SimHashIndex
+
+    d = _docs(spark).where(F.col("doc_id") < 40)
+    idx = SimHashIndex(spark, str(tmp_path / "sidx"))
+    idx.upsert(d, batch_id=0)
+    n0 = idx.read_signatures().count()
+    idx.upsert(d, batch_id=0)  # replay no-op
+    assert idx.read_signatures().count() == n0
+    with pytest.raises(ValueError, match="incompatible"):
+        SimHashIndex(spark, str(tmp_path / "sidx"), bits=32)
