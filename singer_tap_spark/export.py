@@ -54,6 +54,61 @@ def assemble_conversations(
     )
 
 
+# (prefix, role/text separator, suffix, turn separator)
+_CHAT_TEMPLATES = {
+    "plain": ("", ": ", "", "\n"),
+    "chatml": ("<|im_start|>", "\n", "<|im_end|>", "\n"),
+}
+
+
+def render_chat_template(
+    turns: DataFrame,
+    template: str = "chatml",
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_id, n_turns, text): turns rendered into the string a tokenizer
+    consumes — the step between the merged transcript table and
+    ``pack_sequences``.  Same single-shuffle ``collect_list`` +
+    ``array_sort`` pass as :func:`assemble_conversations` (stable turn
+    ordering, per-conversation sort, never global).
+
+    Templates (public formats): ``'chatml'`` renders
+    ``<|im_start|>role\\ntext<|im_end|>`` per turn; ``'plain'`` renders
+    ``role: text`` lines.
+    """
+    try:
+        pre, mid, post, sep = _CHAT_TEMPLATES[template]
+    except KeyError:
+        raise ValueError(
+            f"unknown chat template {template!r}; known: "
+            f"{sorted(_CHAT_TEMPLATES)}"
+        ) from None
+    turn_struct = F.struct(
+        F.col(order_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("text"),
+    )
+    agg = turns.groupBy(conv_col).agg(
+        F.array_sort(F.collect_list(turn_struct)).alias("turns")
+    )
+    return agg.select(
+        F.col(conv_col),
+        F.size("turns").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                "turns",
+                lambda t: F.concat(
+                    F.lit(pre), t["role"], F.lit(mid), t["text"], F.lit(post)
+                ),
+            ),
+            sep,
+        ).alias("text"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_col: str = "n_tokens",

@@ -119,3 +119,33 @@ def test_assemble_conversations_orders_turns(spark):
     assert out[0]["doc"] == "user: a\nassistant: b"
     assert out[0]["n_turns"] == 2
     assert out[1]["doc"] == "user: x"
+
+
+def test_render_chat_template_formats_and_order(spark):
+    from singer_tap_spark.export import render_chat_template
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 2, "assistant", "hi there"),
+            ("c1", 1, "user", "hello"),
+            ("c2", 1, "user", "solo"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    chatml = {r["conv_id"]: r for r in
+              render_chat_template(turns, "chatml").collect()}
+    assert chatml["c1"]["text"] == (
+        "<|im_start|>user\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nhi there<|im_end|>"
+    )
+    assert chatml["c1"]["n_turns"] == 2
+    assert chatml["c2"]["text"] == "<|im_start|>user\nsolo<|im_end|>"
+
+    plain = {r["conv_id"]: r["text"] for r in
+             render_chat_template(turns, "plain").collect()}
+    assert plain["c1"] == "user: hello\nassistant: hi there"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown chat template"):
+        render_chat_template(turns, "nope")
