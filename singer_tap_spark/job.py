@@ -59,6 +59,11 @@ def _sync(args) -> None:
         property_specs=specs,
         tinyint_as_boolean=args.tinyint_as_boolean,
         max_records_per_file=args.max_records_per_file,
+        source_format=args.source_format,
+        source_options=json.loads(args.source_options)
+        if args.source_options
+        else None,
+        delta_feed_compact_every=args.delta_feed_compact_every,
     )
     p = CDCPipeline(spark, cfg)
     if args.bootstrap_snapshot:
@@ -243,6 +248,22 @@ def main(argv: list[str] | None = None) -> None:
         "--specs", default=None,
         help='JSON property specs for type normalization (O12), e.g. '
              '{"ts": {"type": ["null", "string"], "format": "date-time"}}',
+    )
+    s.add_argument(
+        "--source-format", default=None, metavar="FMT",
+        help="pluggable streaming source: route the stream through "
+             "readStream.format(FMT) (e.g. kafka — cluster-only; file "
+             "formats tested locally).  Default: the native file tail",
+    )
+    s.add_argument(
+        "--source-options", default=None, metavar="JSON",
+        help='options for --source-format, e.g. '
+             '{"kafka.bootstrap.servers": "...", "subscribe": "binlog"}',
+    )
+    s.add_argument(
+        "--delta-feed-compact-every", type=int, default=16,
+        help="fold the delta feed's mor state deltas into its base every "
+             "K microbatches (0 = never)",
     )
     s.add_argument(
         "--tinyint-as-boolean", action=argparse.BooleanOptionalAction,

@@ -203,3 +203,19 @@ def test_cli_bench_replay_key_subset(spark, tmp_path, capsys):
     full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert totals[0]["events"] + totals[1]["events"] == full["events"]
     assert totals[0]["final_rows"] + totals[1]["final_rows"] == full["final_rows"]
+
+
+def test_cli_generic_source_format(spark, tmp_path, capsys):
+    """--source-format routes sync --streaming through the pluggable
+    readStream.format(...) constructor from the CLI."""
+    base = str(tmp_path)
+    write_changelog(generate_changelog(spark, 1500, delete_frac=0.1), f"{base}/log")
+    main([
+        "sync", "--changelog", f"{base}/log", "--target", f"{base}/tgt",
+        "--lineage", f"{base}/lineage.json", "--checkpoint", f"{base}/ckpt",
+        "--streaming", "--source-format", "parquet",
+        "--source-options", "{}",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total_events"] == 1500
+    assert spark.read.parquet(f"{base}/tgt/data").count() > 0
