@@ -25,7 +25,12 @@ Scale shape (10^10 nodes): each round is two key-equi-joins + one
 partial-agg min — all shuffles on the id, no cartesian anywhere; the edge
 set is symmetrized once and persisted; labels are ``localCheckpoint``-ed
 every round so the iterative plan never grows (lineage truncation — the
-classic iterative-join OOM).  On a real cluster prefer
+classic iterative-join OOM).  Skew: the neighbor-min is a partial
+aggregation (a hub ships one candidate per map partition), and the
+compression join's hot key (a giant component's shared label on the probe
+side) is a lookup against a UNIQUE build side — AQE's skew-join splits the
+oversized probe partitions, so a billion-node component does not serialize
+onto one reducer.  On a real cluster prefer
 ``checkpoint='reliable'`` (HDFS/S3 checkpoint dir via
 ``spark.sparkContext.setCheckpointDir``) so a lost executor doesn't force a
 full recompute.  Convergence is detected by counting strictly-decreased

@@ -78,3 +78,37 @@ def _brute_topk(emb, k):
     from singer_tap_spark.ops.similarity import brute_force_topk
 
     return brute_force_topk(emb, emb, k=k)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_incremental_minhash_parity_at_driver_settings(spark, sf, tmp_path):
+    """docs_dup_incremental: batch-vs-index at the entry's slices equals the
+    full-corpus recompute at EVERY shipped sf — the banding-recall argument
+    behind its exact-SQL oracle, enforced where the driver can't see."""
+    from singer_tap_spark.ops.incremental import MinHashIndex
+
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    corpus = d.where(F.col("doc_id") < 100)
+    batch = d.where(F.col("doc_id") >= 100).unionByName(
+        d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.upsert(corpus, batch_id=0)
+    got = {(r.a, r.b, r.jaccard) for r in
+           idx.dedup_batch(batch, verify_threshold=0.5).select(
+               "a", "b", "jaccard").collect()}
+
+    from singer_tap_spark.ops.dedup_text import ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(corpus.unionByName(batch), n=4, threshold=0.5)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {(r.a, r.b, r.jaccard) for r in exact.collect()
+            if r.a in batch_ids or r.b in batch_ids}
+    assert got == want
+    assert len(got) > 0
