@@ -423,6 +423,37 @@ def q_conversation_export(spark, sf_dir):
     )
 
 
+def q_docs_redact(spark, sf_dir):
+    """PII scrub: deterministic synthetic PII (email/phone/IP derived from
+    doc_id) appended to every doc, then redact_pii masks it with typed
+    placeholders + per-kind counts — pure Catalyst regexp chain, patterns
+    RE2-safe so DuckDB reproduces the clean text byte-for-byte."""
+    from singer_tap_spark.ops.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+        ).alias("t"),
+    )
+    out = dirty.select(
+        "doc_id", redact_pii(F.col("t")).alias("clean"), *pii_counts(F.col("t"))
+    )
+    count_cols = [c for c in out.columns if c.startswith("n_")]
+    return out.select(
+        "doc_id", "clean", *[F.col(c).cast("long").alias(c) for c in count_cols]
+    )
+
+
 def q_conversation_chatml(spark, sf_dir):
     """Chat-template render: the tokenizer-facing export string (ChatML
     markers, stable turn ordering) — one partial-agg pass, same shuffle
@@ -571,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_histogram": q_docs_token_histogram,
         "conversation_export": q_conversation_export,
         "conversation_chatml": q_conversation_chatml,
+        "docs_redact": q_docs_redact,
         "corpus_curate": q_corpus_curate,
         "sessionization": q_sessionization,
         "docs_minhash_lsh": q_docs_minhash_lsh,
@@ -877,6 +909,31 @@ def oracle_sql() -> dict[str, str]:
                               props || '<|im_end|>', chr(10)
                               ORDER BY event_id) AS text
             FROM events GROUP BY 1
+        """,
+        # PII redaction: RE2-safe patterns, same chain order as
+        # ops.text.PII_PATTERNS (email -> ssn -> phone -> ipv4)
+        "docs_redact": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-123-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 250 AS VARCHAR) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean,
+              len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+              len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+              len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4
+            FROM dirty
         """,
         "corpus_curate": f"""
             WITH doubled AS (

@@ -78,13 +78,14 @@ def _sync(args) -> None:
             p, snap, ts_col=args.bootstrap_ts_col, n_chunks=args.bootstrap_chunks
         )
     if args.delta_feed:
-        p.run_delta_feed(
+        fm = p.run_delta_feed(
             args.delta_feed,
             available_now=not args.continuous,
             impl=args.delta_feed_impl,
         )
         print(json.dumps({"delta_feed": args.delta_feed,
-                          "impl": args.delta_feed_impl}))
+                          "impl": args.delta_feed_impl,
+                          "metrics": json.loads(fm.to_json())}))
         return
     m = p.run_streaming(available_now=not args.continuous) if args.streaming else p.replay(
         n_batches=args.batches

@@ -87,3 +87,43 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.20) * alpha_frac
     )
     return F.round(score, 4)
+
+
+# PII patterns chosen for cross-engine parity: Java regex (Spark) and RE2
+# (DuckDB) agree on these constructs — character classes, bounded repeats,
+# non-capturing groups, ASCII \b; NO backrefs or lookaround (RE2 lacks
+# them).  Order matters: email first (its local part may contain digits),
+# then SSN before phone (disjoint middle-group widths, but explicit order
+# keeps the output stable if patterns evolve), IP last (cannot match the
+# 4-digit phone tail, \b blocks partial digit runs).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Mask common PII shapes with typed placeholder tokens — the scrub
+    pass a training corpus runs before export (emails, SSNs, phone
+    numbers, IPv4 addresses -> ``<EMAIL>``/``<SSN>``/``<PHONE>``/``<IP>``).
+
+    Pure Catalyst ``regexp_replace`` chain (whole-stage codegen, no
+    Python), global replacement, deterministic; patterns are RE2-safe so a
+    DuckDB oracle reproduces the output byte-for-byte.  ``kinds`` selects
+    a subset (in PII_PATTERNS order)."""
+    out = text
+    for name, pat, repl in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII kind (``n_<kind>``) — corpus-audit stats;
+    non-overlapping left-to-right matching in both engines."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]

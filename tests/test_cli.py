@@ -62,6 +62,10 @@ def test_cli_delta_feed(spark, tmp_path, capsys):
     feed = spark.read.parquet(f"{base}/feed")
     assert feed.count() > 0
     assert "op" in feed.columns and os.path.isdir(f"{base}/ckpt")
+    # per-batch emitted-row metrics (reference's record-count logging)
+    m = out["metrics"]
+    assert m["total_events"] == feed.count()
+    assert all(b["events"] >= 0 for b in m["batches"]) and m["batches"]
 
 
 def test_cli_bootstrap_snapshot_resumes_and_matches_oracle(

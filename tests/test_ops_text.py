@@ -1,0 +1,36 @@
+"""PII redaction op: typed placeholders, per-kind counts, RE2-safe patterns."""
+
+from pyspark.sql import functions as F
+
+
+
+def test_redact_pii_shapes(spark):
+    from singer_tap_spark.ops.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.co phone 555-123-4567 "
+                "ssn 123-45-6789 ip 192.168.1.17 done"),
+            (2, "dots 555.123.4567 not-pii 12345 1.2 version 1.2.3"),
+            (3, "no pii here at all"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r for r in df.select(
+        "id", redact_pii(F.col("t")).alias("c"), *pii_counts(F.col("t"))
+    ).collect()}
+    assert out[1]["c"] == (
+        "mail <EMAIL> phone <PHONE> ssn <SSN> ip <IP> done"
+    )
+    assert (out[1]["n_email"], out[1]["n_ssn"], out[1]["n_phone"],
+            out[1]["n_ipv4"]) == (1, 1, 1, 1)
+    # dotted phone redacts as PHONE, short digit runs / versions untouched
+    assert out[2]["c"] == "dots <PHONE> not-pii 12345 1.2 version 1.2.3"
+    assert out[3]["c"] == "no pii here at all"
+    assert out[3]["n_email"] == 0
+
+    # kinds subset: only emails masked
+    sub = df.where("id = 1").select(
+        redact_pii(F.col("t"), kinds=("email",)).alias("c")
+    ).first()["c"]
+    assert "<EMAIL>" in sub and "555-123-4567" in sub
