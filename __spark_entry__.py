@@ -255,6 +255,39 @@ def q_docs_dup_clusters(spark, sf_dir):
     return near_dup_clusters(d.select("doc_id"), pairs)
 
 
+def q_emb_ann_incremental(spark, sf_dir):
+    """Incremental ANN vs a persisted embedding LSH index: corpus vectors
+    signed + normalized ONCE into the index; a batch of new vectors gets
+    exact-cosine top-5 over (index ∪ batch) LSH candidates with one index
+    scan.  Pinned planes=2/tables=32 are candidate-exact on this corpus
+    (same settings/slice the lsh parity suite enforces at every sf), so
+    the oracle is the exact brute-force SQL restricted to batch queries;
+    pytest additionally proves equality with the full lsh_ann_topk
+    recompute."""
+    import tempfile
+
+    from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    corpus = emb.where(F.col("vec_id") < 150)
+    batch = emb.where(F.col("vec_id") >= 150)
+    dim = len(emb.select("embedding").first()[0])
+    path = _EMB_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="emb_idx_")
+        idx = EmbeddingLSHIndex(spark, path, dim=dim, n_planes=2, n_tables=32)
+        idx.upsert(corpus, batch_id=0)
+        _EMB_INDEX_CACHE[sf_dir] = path
+    else:
+        idx = EmbeddingLSHIndex(spark, path, dim=dim, n_planes=2, n_tables=32)
+    return idx.topk_batch(batch, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+_EMB_INDEX_CACHE: dict = {}
+
+
 def q_docs_splits_safe(spark, sf_dir):
     """Contamination-safe train/val/test splits END-TO-END: near-dup pairs
     -> connected components -> md5-interval split on the CLUSTER id, so
@@ -596,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dup_incremental": q_docs_dup_incremental,
         "docs_splits_safe": q_docs_splits_safe,
+        "emb_ann_incremental": q_emb_ann_incremental,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "docs_quality_topk": q_docs_quality_topk,
@@ -1070,6 +1104,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
               AND (a >= 100 OR b >= 100)
+        """,
+        # incremental ANN: exact brute-force top-5 restricted to the batch
+        # queries (vec_id in [150, 200)) over the combined corpus
+        "emb_ann_incremental": """
+            WITH u AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings WHERE vec_id < 200
+            ), unit AS (
+              SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM u
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, len(q.uv) + 1),
+                      i -> q.uv[i] * c.uv[i])), 6) AS cos_sim
+              FROM unit q JOIN unit c
+                ON q.vec_id >= 150 AND c.vec_id <> q.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+              ) AS rank FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         # LSH-ANN: measured exact vs brute force at the entry's settings, so
         # the oracle is the exact top-k SQL (same kernel as emb_cosine_topk).

@@ -266,6 +266,180 @@ class SimHashIndex(_SignatureIndex):
         )
 
 
+class EmbeddingLSHIndex(_SignatureIndex):
+    """Persisted random-hyperplane LSH index over an embedding column —
+    the similarity family's incremental form: per-vector unit vector +
+    per-table signatures stored once at ingest; a batch of NEW vectors
+    gets top-k / near-dup answers against (index ∪ batch) with one index
+    scan and zero corpus re-normalization or re-signing.
+
+    Parameters (n_planes, n_tables, seed, dim) define the signature space
+    and are pinned at build; the hyperplanes re-derive from the seed, so
+    the index stores no plane tensor.  Storage: one row per vector —
+    (vec_id, unit array<double>, sigs array<long> ordered by table).  The
+    signature-building pass is the codegen-friendly exploded form
+    (similarity._all_table_sigs) folded back to an array with one
+    build-time groupBy — paid at ingest, never at query.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        dim: int,
+        n_planes: int = 2,
+        n_tables: int = 16,
+        seed: int = 42,
+        n_buckets: int = 16,
+    ) -> None:
+        super().__init__(
+            spark,
+            path,
+            dict(dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed),
+            n_buckets,
+        )
+        self.dim = dim
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+
+    def _signatures(self, vecs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        """(doc_id, unit, sigs): exploded per-table signatures folded back
+        to a table-ordered array (collect_list of (tbl, sig) structs +
+        array_sort — deterministic at any parallelism)."""
+        from singer_tap_spark.ops.similarity import _all_table_sigs, with_unit_vec
+
+        u = with_unit_vec(vecs, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_unit").alias("v")
+        )
+        sigs = _all_table_sigs(u, self.dim, self.n_planes, self.n_tables, self.seed)
+        folded = (
+            sigs.groupBy("id")
+            .agg(
+                F.first("v").alias("unit"),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("tbl"), F.col("sig")))
+                    ),
+                    lambda s: s["sig"],
+                ).alias("sigs"),
+            )
+        )
+        return folded.select(F.col("id").alias("doc_id"), "unit", "sigs")
+
+    def upsert(
+        self,
+        vecs: DataFrame,
+        batch_id: int = 0,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        self._merge(self._signatures(vecs, vec_col, id_col), batch_id)
+
+    def read_signatures(self) -> DataFrame:
+        """(id, unit, sigs) — the current index state."""
+        return self.table.read().select(
+            F.col("doc_id").alias("id"), "unit", "sigs"
+        )
+
+    def _sides(self, batch: DataFrame, vec_col: str, id_col: str):
+        """Shared discovery prep: (batch sig rows, index sig rows excl.
+        re-ingested ids, combined per-id unit table with batch winning)."""
+        bsig = self._signatures(batch, vec_col, id_col).select(
+            F.col("doc_id").alias("id"), "unit", "sigs"
+        )
+        isig = self.read_signatures().join(
+            bsig.select("id"), "id", "left_anti"
+        )
+        units = bsig.select("id", "unit").unionByName(isig.select("id", "unit"))
+
+        def explode_sigs(df):
+            return df.select(
+                "id", F.posexplode("sigs").alias("tbl", "sig")
+            )
+
+        return explode_sigs(bsig), explode_sigs(isig), units
+
+    def topk_batch(
+        self,
+        batch: DataFrame,
+        k: int = 5,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Exact-cosine top-k of each BATCH vector over (index ∪ batch)
+        LSH candidates — identical math and candidate sets to
+        ``lsh_ann_topk`` on the combined corpus at the index's pinned
+        settings, restricted to batch queries.  Output:
+        (query_id, neighbor_id, cos_sim, rank)."""
+        from pyspark.sql import Window
+
+        from singer_tap_spark.ops.similarity import _dot
+
+        b_rows, i_rows, units = self._sides(batch, vec_col, id_col)
+        # queries are the batch; neighbors are index + batch
+        cand = (
+            b_rows.alias("l")
+            .join(i_rows.unionByName(b_rows).alias("r"), ["tbl", "sig"])
+            .where(F.col("l.id") != F.col("r.id"))
+            .select(
+                F.col("l.id").alias("query_id"),
+                F.col("r.id").alias("neighbor_id"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = (
+            cand.join(
+                units.select(F.col("id").alias("query_id"), F.col("unit").alias("qv")),
+                "query_id",
+            )
+            .join(
+                units.select(
+                    F.col("id").alias("neighbor_id"), F.col("unit").alias("nv")
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(_dot("qv", "nv"), 6).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
+
+    def near_dup_batch(
+        self,
+        batch: DataFrame,
+        threshold: float = 0.9,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """(a, b, cos_sim) near-dup pairs touching the batch — the
+        incremental twin of ``embedding_near_dup_pairs`` at the index's
+        pinned settings."""
+        from singer_tap_spark.ops.similarity import _dot
+
+        b_rows, i_rows, units = self._sides(batch, vec_col, id_col)
+        cand = _batch_candidates(i_rows, b_rows, ["tbl", "sig"])
+        return (
+            cand.join(
+                units.select(F.col("id").alias("a"), F.col("unit").alias("va")), "a"
+            )
+            .join(
+                units.select(F.col("id").alias("b"), F.col("unit").alias("vb")), "b"
+            )
+            .select("a", "b", F.round(_dot("va", "vb"), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
+        )
+
+
 def _batch_candidates(
     index_keys: DataFrame, batch_keys: DataFrame, on: list[str]
 ) -> DataFrame:

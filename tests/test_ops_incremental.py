@@ -151,3 +151,72 @@ def test_simhash_index_reingest_and_params(spark, tmp_path):
     assert idx.read_signatures().count() == n0
     with pytest.raises(ValueError, match="incompatible"):
         SimHashIndex(spark, str(tmp_path / "sidx"), bits=32)
+
+
+def _emb(spark, sf="0.01"):
+    return spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+
+
+def test_embedding_index_topk_equals_full_recompute(spark, tmp_path):
+    """EmbeddingLSHIndex.topk_batch == lsh_ann_topk on the combined corpus
+    at the same pinned settings, restricted to batch queries — identical
+    candidate sets AND identical (stored-unit) cosine values."""
+    from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
+    from singer_tap_spark.ops.similarity import lsh_ann_topk
+
+    emb = _emb(spark).where(F.col("vec_id") < 200)
+    dim = len(emb.select("embedding").first()[0])
+    corpus = emb.where(F.col("vec_id") < 150)
+    batch = emb.where(F.col("vec_id") >= 150)
+
+    idx = EmbeddingLSHIndex(spark, str(tmp_path / "eidx"), dim=dim,
+                            n_planes=2, n_tables=32)
+    idx.upsert(corpus, batch_id=0)
+    got = {tuple(r) for r in idx.topk_batch(batch, k=5).collect()}
+
+    full = lsh_ann_topk(emb, k=5, n_planes=2, n_tables=32)
+    want = {tuple(r) for r in full.where(F.col("query_id") >= 150).collect()}
+    assert got == want
+    assert len(got) > 0
+    # neighbors from the INDEX side actually appear
+    assert any(n < 150 for _, n, _, _ in got)
+
+
+def test_embedding_index_near_dup_equals_full_recompute(spark, tmp_path):
+    from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
+    from singer_tap_spark.ops.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark).where(F.col("vec_id") < 300)
+    dim = len(emb.select("embedding").first()[0])
+    corpus = emb.where(F.col("vec_id") < 200)
+    batch = emb.where(F.col("vec_id") >= 200)
+
+    idx = EmbeddingLSHIndex(spark, str(tmp_path / "eidx"), dim=dim,
+                            n_planes=2, n_tables=16)
+    idx.upsert(corpus, batch_id=0)
+    got = {tuple(r) for r in
+           idx.near_dup_batch(batch, threshold=0.35).collect()}
+
+    full = embedding_near_dup_pairs(emb, threshold=0.35, n_planes=2,
+                                    n_tables=16)
+    batch_ids = set(range(200, 300))
+    want = {tuple(r) for r in full.collect()
+            if r["a"] in batch_ids or r["b"] in batch_ids}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_embedding_index_params_and_idempotence(spark, tmp_path):
+    from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
+
+    emb = _emb(spark).where(F.col("vec_id") < 50)
+    dim = len(emb.select("embedding").first()[0])
+    idx = EmbeddingLSHIndex(spark, str(tmp_path / "eidx"), dim=dim)
+    idx.upsert(emb, batch_id=0)
+    n0 = idx.read_signatures().count()
+    idx.upsert(emb, batch_id=0)  # replay no-op
+    assert idx.read_signatures().count() == n0
+    sigs = idx.read_signatures().first()["sigs"]
+    assert len(sigs) == idx.n_tables
+    with pytest.raises(ValueError, match="incompatible"):
+        EmbeddingLSHIndex(spark, str(tmp_path / "eidx"), dim=dim, n_tables=8)

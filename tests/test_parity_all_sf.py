@@ -112,3 +112,27 @@ def test_incremental_minhash_parity_at_driver_settings(spark, sf, tmp_path):
             if r.a in batch_ids or r.b in batch_ids}
     assert got == want
     assert len(got) > 0
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_embedding_index_parity_at_driver_settings(spark, sf, tmp_path):
+    """emb_ann_incremental: batch top-5 vs the persisted index equals the
+    exact brute-force answer at the entry's pinned slices/settings on
+    EVERY shipped sf (candidate-exactness is what licenses its SQL
+    oracle)."""
+    from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    dim = len(emb.select("embedding").first()[0])
+    corpus = emb.where(F.col("vec_id") < 150)
+    batch = emb.where(F.col("vec_id") >= 150)
+    idx = EmbeddingLSHIndex(spark, str(tmp_path / "eidx"), dim=dim,
+                            n_planes=2, n_tables=32)
+    idx.upsert(corpus, batch_id=0)
+    got = {tuple(r) for r in idx.topk_batch(batch, k=5).collect()}
+    want = {tuple(r) for r in
+            _brute_topk(emb, k=5).where(F.col("query_id") >= 150).collect()}
+    assert got == want
+    assert len(got) > 0
