@@ -505,6 +505,34 @@ def q_conversation_chatml(spark, sf_dir):
     )
 
 
+def q_conversation_prefix_dedup(spark, sf_dir):
+    """Prefix dedup over transcripts: agent-log corpora replay common
+    prefixes (retries/forks); conversations sharing their first 3 turns
+    group under one canonical id.  Planted forks: every conversation
+    doubled at +offset with identical first-3 turns and ' forked' appended
+    after — each pair must land in one group."""
+    from pyspark.sql import Window
+
+    from singer_tap_spark.export import conversation_prefix_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    forked = ev.withColumn("rn", F.row_number().over(w)).select(
+        (F.col("conv_id") + _DOUBLE_OFFSET).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(F.col("rn") <= 3, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" forked")))
+        .alias("text"),
+    )
+    return conversation_prefix_dedup(ev.unionByName(forked), prefix_turns=3)
+
+
 def q_docs_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified on candidates
     only.  Output (a, b, jaccard) is oracle-checkable with plain Jaccard
@@ -637,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_export": q_conversation_export,
         "conversation_chatml": q_conversation_chatml,
         "docs_redact": q_docs_redact,
+        "conversation_prefix_dedup": q_conversation_prefix_dedup,
         "corpus_curate": q_corpus_curate,
         "sessionization": q_sessionization,
         "docs_minhash_lsh": q_docs_minhash_lsh,
@@ -943,6 +972,38 @@ def oracle_sql() -> dict[str, str]:
                               props || '<|im_end|>', chr(10)
                               ORDER BY event_id) AS text
             FROM events GROUP BY 1
+        """,
+        # prefix dedup: first-3-turn fingerprints; the forked twin corpus
+        # must group with its original (same prefix, divergent tail)
+        "conversation_prefix_dedup": """
+            WITH t AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     event_type AS role, props AS text
+              FROM events
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM t
+            ), allc AS (
+              SELECT conv_id, turn_idx, role, text FROM t
+              UNION ALL
+              SELECT conv_id + 100000, turn_idx, role,
+                     CASE WHEN rn <= 3 THEN text
+                          ELSE text || ' forked' END
+              FROM ranked
+            ), r2 AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM allc
+            ), pfx AS (
+              SELECT conv_id,
+                md5(string_agg(role || ': ' || text, chr(10)
+                    ORDER BY turn_idx)) AS prefix_fp
+              FROM r2 WHERE rn <= 3 GROUP BY conv_id
+            )
+            SELECT prefix_fp, min(conv_id) AS canonical_conv_id,
+                   count(*) AS n_convs
+            FROM pfx GROUP BY 1
         """,
         # PII redaction: RE2-safe patterns, same chain order as
         # ops.text.PII_PATTERNS (email -> ssn -> phone -> ipv4)

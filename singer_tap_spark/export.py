@@ -54,6 +54,50 @@ def assemble_conversations(
     )
 
 
+def conversation_prefix_dedup(
+    turns: DataFrame,
+    prefix_turns: int = 3,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Group conversations sharing their first ``prefix_turns`` turns —
+    agent/transcript corpora are full of retries and forks that replay a
+    common prefix, and training on every fork over-weights it.  Output:
+    (prefix_fp, canonical_conv_id = min conv over the group, n_convs),
+    one row per distinct prefix.
+
+    One partial-agg pass: per-conversation ordered turn array (the
+    assemble_conversations shape), ``slice`` to the prefix, md5 of the
+    rendered prefix, then a groupBy on the fingerprint — two shuffles
+    total (conv key, then uniform md5 key), no self-join, no explosion.
+    Conversations with FEWER than ``prefix_turns`` turns fingerprint their
+    whole (shorter) prefix — forks that diverge inside the window stay
+    distinct.
+    """
+    turn_struct = F.struct(
+        F.col(order_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("text"),
+    )
+    agg = turns.groupBy(conv_col).agg(
+        F.array_sort(F.collect_list(turn_struct)).alias("turns")
+    )
+    prefix_doc = F.array_join(
+        F.transform(
+            F.slice(F.col("turns"), 1, prefix_turns),
+            lambda t: F.concat(t["role"], F.lit(": "), t["text"]),
+        ),
+        "\n",
+    )
+    fps = agg.select(F.col(conv_col), F.md5(prefix_doc).alias("prefix_fp"))
+    return fps.groupBy("prefix_fp").agg(
+        F.min(conv_col).alias("canonical_conv_id"),
+        F.count("*").alias("n_convs"),
+    )
+
+
 # (prefix, role/text separator, suffix, turn separator)
 _CHAT_TEMPLATES = {
     "plain": ("", ": ", "", "\n"),

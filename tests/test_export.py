@@ -149,3 +149,27 @@ def test_render_chat_template_formats_and_order(spark):
 
     with _pytest.raises(ValueError, match="unknown chat template"):
         render_chat_template(turns, "nope")
+
+
+def test_conversation_prefix_dedup_groups_forks(spark):
+    from singer_tap_spark.export import conversation_prefix_dedup
+
+    rows = []
+    # conv 1 and 2: identical first 3 turns, divergent 4th (fork pair)
+    for c in (1, 2):
+        rows += [(c, 1, "user", "hi"), (c, 2, "assistant", "hello"),
+                 (c, 3, "user", "do a thing")]
+        rows.append((c, 4, "assistant", f"result-{c}"))
+    # conv 3: diverges INSIDE the prefix window -> its own group
+    rows += [(3, 1, "user", "hi"), (3, 2, "assistant", "different"),
+             (3, 3, "user", "do a thing")]
+    # conv 4: shorter than the window, unique
+    rows += [(4, 1, "user", "solo")]
+    # conv 5: same single turn as 4 -> groups with it (whole-prefix match)
+    rows += [(5, 1, "user", "solo")]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    )
+    out = {r["canonical_conv_id"]: r["n_convs"]
+           for r in conversation_prefix_dedup(turns, prefix_turns=3).collect()}
+    assert out == {1: 2, 3: 1, 4: 2}
