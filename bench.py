@@ -140,6 +140,9 @@ def main() -> None:
         "docs_ngram_jaccard",
         "docs_dup_clusters",
         "docs_dup_incremental",
+        "docs_redact",
+        "emb_ann_incremental",
+        "conversation_prefix_dedup",
         "docs_minhash_lsh",
         "docs_simhash_dedup",
         "emb_cosine_topk",
