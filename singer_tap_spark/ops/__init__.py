@@ -20,6 +20,7 @@ from singer_tap_spark.ops.incremental import (  # noqa: F401
     EmbeddingLSHIndex,
     MinHashIndex,
     SimHashIndex,
+    run_streaming_dedup,
 )
 from singer_tap_spark.ops.dedup_text import (  # noqa: F401
     exact_dedup,

@@ -175,7 +175,9 @@ class MinHashIndex(_SignatureIndex):
         bsig = self._signatures(batch, text_col, id_col).select(
             F.col("doc_id").alias("id"), "sig", "sh", "sz"
         )
-        isig = self.read_signatures()
+        # empty/new index: an empty frame of the batch's own shape, so the
+        # first streaming microbatch dedups purely within itself
+        isig = self.read_signatures() if self.exists() else bsig.limit(0)
 
         b_bands = band_rows(bsig.select("id", "sig"), self.num_hashes, self.bands)
         i_bands = band_rows(isig.select("id", "sig"), self.num_hashes, self.bands)
@@ -242,7 +244,7 @@ class SimHashIndex(_SignatureIndex):
         bsig = self._signatures(batch, text_col, id_col).select(
             F.col("doc_id").alias("id"), "simhash"
         )
-        isig = self.read_signatures()
+        isig = self.read_signatures() if self.exists() else bsig.limit(0)
         # batch rows win for overlapping ids (re-ingested doc, new text)
         all_sig = bsig.unionByName(isig.join(bsig.select("id"), "id", "left_anti"))
 
@@ -348,8 +350,10 @@ class EmbeddingLSHIndex(_SignatureIndex):
         bsig = self._signatures(batch, vec_col, id_col).select(
             F.col("doc_id").alias("id"), "unit", "sigs"
         )
-        isig = self.read_signatures().join(
-            bsig.select("id"), "id", "left_anti"
+        isig = (
+            self.read_signatures().join(bsig.select("id"), "id", "left_anti")
+            if self.exists()
+            else bsig.limit(0)
         )
         units = bsig.select("id", "unit").unionByName(isig.select("id", "unit"))
 
@@ -438,6 +442,59 @@ class EmbeddingLSHIndex(_SignatureIndex):
             .select("a", "b", F.round(_dot("va", "vb"), 6).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold)
         )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    index: MinHashIndex,
+    pairs_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_threshold: float = 0.5,
+    max_files_per_trigger: int = 64,
+    available_now: bool = True,
+) -> None:
+    """Streaming corpus dedup — the CDC half and the ops half composed:
+    tail a parquet document stream; per microbatch, near-dup pairs against
+    the persisted index (and within the batch) land in
+    ``<pairs_path>/batch=N`` and the batch's signatures upsert into the
+    index, so each arriving document is deduped against EVERYTHING seen
+    before without ever recomputing the corpus.
+
+    Exactly-once by construction, no marker needed (unlike the delta
+    feed): a replayed batch whose signatures already merged re-discovers
+    the IDENTICAL pair set — the index's copies of the batch docs carry
+    the same signatures/shingles, so index-vs-batch pairs collapse onto
+    the batch-vs-batch pairs under the a<b normalization + dedup — and
+    the ``batch=N`` overwrite plus the LWW signature merge are both
+    idempotent.  Union of all batch outputs over a stream == the one-shot
+    ``minhash_lsh_candidates`` over the final corpus (pytest-enforced).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = index.dedup_batch(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            verify_threshold=verify_threshold,
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+        index.upsert(batch_df, batch_id=batch_id, text_col=text_col, id_col=id_col)
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(docs_path).schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_path)
+    )
+    writer = src.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
 
 
 def _batch_candidates(
