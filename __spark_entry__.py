@@ -505,6 +505,34 @@ def q_conversation_chatml(spark, sf_dir):
     )
 
 
+def q_docs_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing a verbatim 8-word n-gram
+    with an eval set.  The synthetic benchmark = the first 12 normalized
+    words of docs 0..19, so those docs are contaminated by construction
+    (n_shared = 5 when long enough) and template-sharing docs surface too;
+    the oracle recomputes the identical gram join in SQL."""
+    from singer_tap_spark.ops.dedup_text import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    bench = d.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 12)).alias("text"),
+    )
+    # the oracle assumes every bench item has >= 8 words (shorter items
+    # trigger the operator's short-gram path, which this SQL does not
+    # mirror) — fail loudly if a testdata regeneration shrinks doc texts
+    mn = bench.agg(
+        F.min(F.size(F.split(F.col("text"), " "))).alias("m")
+    ).first()["m"]
+    if mn is not None and mn < 8:
+        raise AssertionError(
+            f"docs_contamination bench item with {mn} < 8 words; oracle "
+            "does not model the short-gram path — regenerate or lower n"
+        )
+    return benchmark_contamination(d, bench, n=8)
+
+
 def q_conversation_prefix_dedup(spark, sf_dir):
     """Prefix dedup over transcripts: agent-log corpora replay common
     prefixes (retries/forks); conversations sharing their first 3 turns
@@ -666,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_chatml": q_conversation_chatml,
         "docs_redact": q_docs_redact,
         "conversation_prefix_dedup": q_conversation_prefix_dedup,
+        "docs_contamination": q_docs_contamination,
         "corpus_curate": q_corpus_curate,
         "sessionization": q_sessionization,
         "docs_minhash_lsh": q_docs_minhash_lsh,
@@ -972,6 +1001,30 @@ def oracle_sql() -> dict[str, str]:
                               props || '<|im_end|>', chr(10)
                               ORDER BY event_id) AS text
             FROM events GROUP BY 1
+        """,
+        # decontamination: 8-word-gram join; bench = first 12 normalized
+        # words of docs 0..19 (identical derivation both sides)
+        "docs_contamination": """
+            WITH nd AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            ), dw AS (
+              SELECT doc_id, string_split(t, ' ') AS w FROM nd
+            ), dg AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+              FROM dw, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS u(i)
+            ), bw AS (
+              SELECT doc_id AS bench_id, list_slice(w, 1, 12) AS w
+              FROM dw WHERE doc_id < 20
+            ), bg AS (
+              SELECT DISTINCT bench_id,
+                     array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+              FROM bw, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS u(i)
+            )
+            SELECT dg.doc_id, bg.bench_id, count(*) AS n_shared
+            FROM dg JOIN bg USING (gram) GROUP BY 1, 2
         """,
         # prefix dedup: first-3-turn fingerprints; the forked twin corpus
         # must group with its original (same prefix, divergent tail)

@@ -293,6 +293,75 @@ def _estimate_and_verify(
     return verified.select("a", "b", "est_jaccard", "jaccard")
 
 
+def word_ngrams(text_col: str, n: int) -> F.Column:
+    """Distinct word n-grams of the materialized ``_t`` column (space-
+    joined) — JVM-side: split + sequence + slice + concat_ws."""
+    words = F.split(F.col("_t"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, n_shared) for every
+    training doc sharing at least one VERBATIM word ``n``-gram with an
+    eval-benchmark item — the standard leakage check a training corpus
+    runs before export (n-gram overlap a la public decontamination
+    practice; near-dup dedup cannot catch a benchmark question quoted
+    inside an otherwise-unique document).
+
+    Shape: both sides explode DISTINCT word n-grams (normalized text);
+    one equi-join on the gram string.  The benchmark side is small by
+    nature (10^3-10^5 items vs 10^9 docs) — AQE broadcasts it, so the
+    doc side never shuffles; grams are near-unique strings, skew-free.
+
+    Short benchmark items (fewer than ``n`` words) contribute their WHOLE
+    text as one m-word gram, and the doc side additionally emits m-grams
+    for each such length m (the distinct short lengths are collected from
+    the benchmark — a metadata-sized driver read on the small side), so a
+    10-word eval prompt quoted inside a long document still matches.
+    """
+    nb = _with_norm(bench, bench_text_col, bench_id_col)
+    short_lengths = sorted(
+        r[0]
+        for r in nb.select(
+            F.size(F.split(F.col("_t"), " ")).alias("m")
+        )
+        .where((F.col("m") < n) & (F.col("m") > 0))
+        .distinct()
+        .collect()
+    )
+    nd = _with_norm(docs, text_col, id_col)
+    gram_sizes = [n, *short_lengths]
+    d = nd.select(
+        F.col("id").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.flatten(F.array(*[word_ngrams("_t", m) for m in gram_sizes]))
+            )
+        ).alias("gram"),
+    )
+    b = nb.select(
+        F.col("id").alias("bench_id"),
+        F.explode(word_ngrams("_t", n)).alias("gram"),
+    )
+    return (
+        d.join(b, "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

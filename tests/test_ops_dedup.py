@@ -283,3 +283,41 @@ def test_vectorized_scoring_matches_hof(spark, emb):
         b = {tuple(r) for r in fn(e, vectorized_scoring=True, **kw).collect()}
         assert a == b, fn.__name__
         assert len(a) > 0
+
+
+def test_benchmark_contamination(spark):
+    """A doc QUOTING a benchmark item verbatim is flagged (near-dup dedup
+    can't catch that); unrelated docs are not; a bench item shorter than n
+    words still matches via its whole-text gram."""
+    from singer_tap_spark.ops.dedup_text import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [
+            (100, "what is the capital city of the great nation of france"),
+            (101, "tiny prompt"),  # < n words
+        ],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # quotes bench 100 inside unrelated prose
+            (1, "training text says: What is the capital city of the "
+                "great nation of France according to the atlas"),
+            # unrelated
+            (2, "completely different content about maritime law and "
+                "lighthouse construction procedures in northern europe"),
+            # contains the tiny prompt verbatim
+            (3, "a doc with the tiny prompt inside it"),
+            # shares only a 7-word prefix with bench 100 -> below n=8
+            (4, "what is the capital city of the kingdom far away"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["bench_id"]): r["n_shared"]
+           for r in benchmark_contamination(docs, bench, n=8).collect()}
+    assert (1, 100) in out and out[(1, 100)] >= 1
+    # short bench item (< n words) matched inside a LONG doc: the doc side
+    # emits the short lengths' grams too
+    assert (3, 101) in out and out[(3, 101)] == 1
+    assert all(d != 2 for d, _ in out)
+    assert (4, 100) not in out  # 7-word overlap < n
