@@ -505,6 +505,15 @@ def q_conversation_chatml(spark, sf_dir):
     )
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signal: 1 - distinct/total word
+    3-grams per doc — boilerplate/spam detector, pure Catalyst."""
+    from singer_tap_spark.ops.text import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", repetition_ratio(F.col("text"), n=3).alias("rep3"))
+
+
 def q_docs_contamination(spark, sf_dir):
     """Benchmark decontamination: docs sharing a verbatim 8-word n-gram
     with an eval set.  The synthetic benchmark = the first 12 normalized
@@ -695,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact": q_docs_redact,
         "conversation_prefix_dedup": q_conversation_prefix_dedup,
         "docs_contamination": q_docs_contamination,
+        "docs_repetition": q_docs_repetition,
         "corpus_curate": q_corpus_curate,
         "sessionization": q_sessionization,
         "docs_minhash_lsh": q_docs_minhash_lsh,
@@ -1001,6 +1011,26 @@ def oracle_sql() -> dict[str, str]:
                               props || '<|im_end|>', chr(10)
                               ORDER BY event_id) AS text
             FROM events GROUP BY 1
+        """,
+        # repetition: 1 - distinct/total word 3-grams over normalized text
+        "docs_repetition": """
+            WITH nd AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            ), w AS (
+              SELECT doc_id, string_split(t, ' ') AS w FROM nd
+            ), g AS (
+              SELECT doc_id, greatest(len(w) - 2, 0) AS total,
+                list_transform(range(1, greatest(greatest(len(w) - 2, 0), 1) + 1),
+                  i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS grams
+              FROM w
+            )
+            SELECT doc_id,
+              CASE WHEN total > 0 THEN
+                round(1.0 - len(list_distinct(grams)) * 1.0 / total, 4)
+              ELSE 0.0 END AS rep3
+            FROM g
         """,
         # decontamination: 8-word-gram join; bench = first 12 normalized
         # words of docs 0..19 (identical derivation both sides)

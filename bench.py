@@ -141,6 +141,8 @@ def main() -> None:
         "docs_dup_clusters",
         "docs_dup_incremental",
         "docs_redact",
+        "docs_repetition",
+        "docs_contamination",
         "emb_ann_incremental",
         "conversation_prefix_dedup",
         "docs_minhash_lsh",

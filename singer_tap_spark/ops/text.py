@@ -127,3 +127,25 @@ def pii_counts(text: Column) -> list[Column]:
         F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Intra-document repetition: 1 - distinct/total word n-grams — the
+    Gopher-style repetition filter (public practice: highly repetitive
+    docs are boilerplate/spam and poison training).  0 = no repeated
+    n-gram, -> 1 as the doc degenerates into a loop.  Pure Catalyst
+    (split + sequence + slice + array_distinct), rounded to 4 dp for
+    engine-identical hashing; docs shorter than n words score 0.0."""
+    words = F.split(_norm(text), " ")
+    total = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    distinct = F.size(F.array_distinct(grams))
+    return F.round(
+        F.when(total > 0,
+               F.lit(1.0) - distinct.cast("double") / total.cast("double"))
+        .otherwise(F.lit(0.0)),
+        4,
+    )

@@ -34,3 +34,24 @@ def test_redact_pii_shapes(spark):
         redact_pii(F.col("t"), kinds=("email",)).alias("c")
     ).first()["c"]
     assert "<EMAIL>" in sub and "555-123-4567" in sub
+
+
+def test_repetition_ratio(spark):
+    from singer_tap_spark.ops.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),        # loop: 7 grams, 3 distinct
+            (2, "all words entirely unique here today"),
+            (3, "two words"),                # shorter than n -> 0.0
+            (4, ""),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r["r"] for r in df.select(
+        "id", repetition_ratio(F.col("t"), n=3).alias("r")
+    ).collect()}
+    assert out[1] == round(1 - 3 / 7, 4)
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    assert out[4] == 0.0
