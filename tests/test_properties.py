@@ -141,3 +141,42 @@ def test_simhash_chunk_pigeonhole(base, max_hamming, data):
         return out
 
     assert any(a == b for a, b in zip(chunks(base), chunks(other)))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)),
+        min_size=0, max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    """Connected components on arbitrary small graphs == driver-side
+    union-find ground truth (random structure beyond the fixed-seed test:
+    self-loops dropped, duplicate/reversed edges, any density)."""
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+
+    ids = list(range(40))
+    pairs = [(a, b) for a, b in edges if a != b]
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pdf = (
+        spark.createDataFrame(pairs, "a long, b long")
+        if pairs
+        else spark.createDataFrame([], "a long, b long")
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(idf, pdf).collect()}
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert got == {i: find(i) for i in ids}
