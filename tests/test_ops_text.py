@@ -55,3 +55,19 @@ def test_repetition_ratio(spark):
     assert out[2] == 0.0
     assert out[3] == 0.0
     assert out[4] == 0.0
+
+
+def test_repetition_ratio_impls_identical(spark):
+    """Arrow default == pure-Catalyst 'expr' form, bit for bit, on the
+    real corpus (the UDF returns raw counts; division/rounding shared)."""
+    from singer_tap_spark.ops.text import repetition_ratio
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = d.select("doc_id", repetition_ratio(F.col("text")).alias("r"))
+    b = d.select("doc_id", repetition_ratio(F.col("text"), impl="expr").alias("r"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown repetition_ratio impl"):
+        repetition_ratio(F.col("text"), impl="nope")
