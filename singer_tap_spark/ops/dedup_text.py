@@ -21,6 +21,7 @@ no rand(), same results at any parallelism.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -304,6 +305,35 @@ def word_ngrams(text_col: str, n: int) -> F.Column:
     return F.array_distinct(grams)
 
 
+def _word_ngrams_udf(sizes: tuple[int, ...]):
+    """Arrow pandas UDF building the DISTINCT word n-gram set for every
+    requested size — semantics identical to ``word_ngrams`` (incl. the
+    whole-short-text floor), ~8x the interpreted HOF form (same lesson as
+    repetition_ratio / the IVF kernels)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def grams(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append([])
+                continue
+            w = t.split(" ")
+            gs = set()
+            for m in sizes:
+                total = len(w) - (m - 1)
+                if total <= 0:
+                    gs.add(" ".join(w))
+                else:
+                    for i in range(total):
+                        gs.add(" ".join(w[i:i + m]))
+            out.append(list(gs))
+        return pd.Series(out)
+
+    return grams
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench: DataFrame,
@@ -312,6 +342,7 @@ def benchmark_contamination(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     bench_id_col: str = "bench_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Benchmark decontamination: (doc_id, bench_id, n_shared) for every
     training doc sharing at least one VERBATIM word ``n``-gram with an
@@ -342,18 +373,22 @@ def benchmark_contamination(
         .collect()
     )
     nd = _with_norm(docs, text_col, id_col)
-    gram_sizes = [n, *short_lengths]
+    gram_sizes = tuple([n, *short_lengths])
+    if impl == "arrow":
+        doc_grams = _word_ngrams_udf(gram_sizes)(F.col("_t"))
+        bench_grams = _word_ngrams_udf((n,))(F.col("_t"))
+    elif impl == "expr":
+        doc_grams = F.array_distinct(
+            F.flatten(F.array(*[word_ngrams("_t", m) for m in gram_sizes]))
+        )
+        bench_grams = word_ngrams("_t", n)
+    else:
+        raise ValueError(f"unknown benchmark_contamination impl: {impl!r}")
     d = nd.select(
-        F.col("id").alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.flatten(F.array(*[word_ngrams("_t", m) for m in gram_sizes]))
-            )
-        ).alias("gram"),
+        F.col("id").alias("doc_id"), F.explode(doc_grams).alias("gram")
     )
     b = nb.select(
-        F.col("id").alias("bench_id"),
-        F.explode(word_ngrams("_t", n)).alias("gram"),
+        F.col("id").alias("bench_id"), F.explode(bench_grams).alias("gram")
     )
     return (
         d.join(b, "gram")

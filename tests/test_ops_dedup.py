@@ -321,3 +321,23 @@ def test_benchmark_contamination(spark):
     assert (3, 101) in out and out[(3, 101)] == 1
     assert all(d != 2 for d, _ in out)
     assert (4, 100) not in out  # 7-word overlap < n
+
+
+def test_benchmark_contamination_impls_identical(spark):
+    """Arrow gram UDF == pure-Catalyst expr form on the real corpus with a
+    short bench item in play (exercises the whole-short-text floor)."""
+    from singer_tap_spark.ops.dedup_text import benchmark_contamination
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5)
+        ).alias("text"),  # 5-word items: short path active at n=8
+    )
+    a = benchmark_contamination(docs, bench, n=8)
+    b = benchmark_contamination(docs, bench, n=8, impl="expr")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
