@@ -456,6 +456,21 @@ def q_conversation_export(spark, sf_dir):
     )
 
 
+def q_docs_mixture(spark, sf_dir):
+    """Token-budget data mixture: sample src0/src1/src2 at 50/30/20% of a
+    6000-token budget (fractions from one per-source token aggregate,
+    membership md5-keyed) — the corpus-mixing step of a pretraining
+    pipeline, fully SQL-oracle-able because the fraction arithmetic is
+    pinned to the identical double-op order on both sides."""
+    from singer_tap_spark.ops.sample import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = mixture_sample(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, budget_tokens=6000
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def q_docs_redact(spark, sf_dir):
     """PII scrub: deterministic synthetic PII (email/phone/IP derived from
     doc_id) appended to every doc, then redact_pii masks it with typed
@@ -705,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_prefix_dedup": q_conversation_prefix_dedup,
         "docs_contamination": q_docs_contamination,
         "docs_repetition": q_docs_repetition,
+        "docs_mixture": q_docs_mixture,
         "corpus_curate": q_corpus_curate,
         "sessionization": q_sessionization,
         "docs_minhash_lsh": q_docs_minhash_lsh,
@@ -1011,6 +1027,32 @@ def oracle_sql() -> dict[str, str]:
                               props || '<|im_end|>', chr(10)
                               ORDER BY event_id) AS text
             FROM events GROUP BY 1
+        """,
+        # data mixture: per-source fractions = least(1, budget*w/avail) in
+        # DOUBLE arithmetic (same op order as Python), truncated md5 keys
+        "docs_mixture": """
+            WITH tk AS (
+              SELECT doc_id, source,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS n_tokens
+              FROM documents
+            ), tot AS (
+              SELECT source, sum(n_tokens) AS avail FROM tk GROUP BY 1
+            ), fr AS (
+              SELECT tot.source,
+                least(CAST(1.0 AS DOUBLE),
+                      (6000 * CAST(wt.w AS DOUBLE)) / avail) AS frac
+              FROM tot
+              JOIN (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+                   AS wt(source, w) ON wt.source = tot.source
+              WHERE avail > 0
+            )
+            SELECT tk.doc_id, tk.source, tk.n_tokens
+            FROM tk JOIN fr ON fr.source = tk.source
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                       AS BIGINT)
+                  < CAST(floor(frac * 4294967296) AS BIGINT)
         """,
         # repetition: 1 - distinct/total word 3-grams over normalized text
         "docs_repetition": """

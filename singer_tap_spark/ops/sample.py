@@ -83,6 +83,67 @@ def stratified_sample(
     return df.where(sample_key(id_col, seed) < thr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budget-aware data-mixture sampling: keep a deterministic
+    per-source sample sized so each source contributes ~``budget_tokens *
+    weight`` tokens — the mixing step every pretraining corpus runs
+    (upweight curated sources, downsample crawl) expressed as pure
+    per-row filters.
+
+    ``fraction_s = min(1, budget * w_s / available_tokens_s)`` from ONE
+    aggregation over the corpus (the per-source totals collect is
+    #sources-sized — metadata); membership then comes from the same
+    md5-keyed :func:`stratified_sample` filter, so the chosen rows are
+    deterministic at any parallelism, NESTED under budget growth (raising
+    the budget only adds rows), and a source short of its target keeps
+    everything it has (fraction capped at 1).  Sources absent from
+    ``target_weights`` are dropped.  Expected sampled token mass per
+    source ~= its target (exact only in expectation: membership is
+    per-row, tokens vary per doc).
+
+    Returns the sampled rows with an ``n_tokens`` column appended when
+    ``token_col`` is None (derived via ``token_count``).
+    """
+    from singer_tap_spark.ops.text import token_count
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens={budget_tokens} < 0")
+    if token_col is None:
+        df = df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        token_col = "n_tokens"
+    totals = {
+        r["s"]: r["tk"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(token_col).alias("tk"))
+        .collect()
+    }
+    fractions = {}
+    for s, w in target_weights.items():
+        if w < 0:
+            raise ValueError(f"weight for source {s!r} = {w} < 0")
+        avail = totals.get(s, 0) or 0
+        if avail > 0:
+            # evaluation order pinned: (budget * w) / avail, then min —
+            # the DuckDB oracle repeats it verbatim so the truncated
+            # md5 thresholds agree bit-for-bit
+            fractions[s] = min(1.0, (budget_tokens * w) / avail)
+    if not fractions:
+        return df.where(F.lit(False))
+    return stratified_sample(
+        df, source_col, fractions, default_fraction=0.0,
+        id_col=id_col, seed=seed,
+    )
+
+
 def assign_splits(
     df: DataFrame,
     weights: dict[str, float],

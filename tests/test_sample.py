@@ -107,3 +107,45 @@ def test_splits_weights_validated(spark, docs):
 
     with _pytest.raises(ValueError, match="sum"):
         assign_splits(docs, {"train": 0.8, "test": 0.1})
+
+
+def test_mixture_sample_properties(spark):
+    """Budget-growth nesting, availability cap, absent-source drop, and
+    sampled token mass tracking the target mixture."""
+    import pytest as _pytest
+
+    from singer_tap_spark.ops.sample import mixture_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    small = mixture_sample(d, w, budget_tokens=3000)
+    big = mixture_sample(d, w, budget_tokens=9000)
+    s_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    b_ids = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert s_ids <= b_ids  # nested: growing the budget only adds rows
+    assert {r["source"] for r in big.select("source").distinct().collect()} \
+        <= set(w)  # absent sources dropped
+
+    # huge budget: fraction caps at 1 -> every doc of targeted sources kept
+    every = mixture_sample(d, w, budget_tokens=10_000_000)
+    assert every.count() == d.where(F.col("source").isin(list(w))).count()
+
+    # sampled token mass per source ~ budget * weight (loose: per-row
+    # membership; 3-sigma-ish slack on a 25-doc stratum)
+    got = {
+        r["source"]: r["tk"]
+        for r in mixture_sample(d, w, budget_tokens=4000)
+        .groupBy("source").agg(F.sum("n_tokens").alias("tk")).collect()
+    }
+    for s, frac in w.items():
+        target = 4000 * frac
+        assert got.get(s, 0) < 3 * target + 800, (s, got.get(s), target)
+
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        mixture_sample(d, w, budget_tokens=-1)
+    with _pytest.raises(ValueError, match="weight for source"):
+        mixture_sample(d, {"src0": -0.1}, budget_tokens=100)
+    # no targeted source present -> empty
+    assert mixture_sample(d, {"nope": 1.0}, budget_tokens=100).count() == 0
