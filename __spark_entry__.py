@@ -529,6 +529,31 @@ def q_docs_repetition(spark, sf_dir):
     return d.select("doc_id", repetition_ratio(F.col("text"), n=3).alias("rep3"))
 
 
+def q_docs_verbatim_spans(spark, sf_dir):
+    """Partial-copy dedup: docs sharing a verbatim 32-word span.  Planted
+    partial copies = first 40 normalized words of each doc < 30 plus a
+    unique synthetic tail — near-dup Jaccard misses these (the copied head
+    is a minority of the source doc), the span join must catch all 30."""
+    from singer_tap_spark.ops.dedup_text import verbatim_span_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    _assert_doubling_safe(d)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    planted = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + _DOUBLE_OFFSET).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 40)),
+            F.lit(" unique tail for planted copy number "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return verbatim_span_pairs(d.unionByName(planted), n=32)
+
+
 def q_docs_contamination(spark, sf_dir):
     """Benchmark decontamination: docs sharing a verbatim 8-word n-gram
     with an eval set.  The synthetic benchmark = the first 12 normalized
@@ -719,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact": q_docs_redact,
         "conversation_prefix_dedup": q_conversation_prefix_dedup,
         "docs_contamination": q_docs_contamination,
+        "docs_verbatim_spans": q_docs_verbatim_spans,
         "docs_repetition": q_docs_repetition,
         "docs_mixture": q_docs_mixture,
         "corpus_curate": q_corpus_curate,
@@ -1073,6 +1099,37 @@ def oracle_sql() -> dict[str, str]:
                 round(1.0 - len(list_distinct(grams)) * 1.0 / total, 4)
               ELSE 0.0 END AS rep3
             FROM g
+        """,
+        # verbatim spans: distinct 32-word-gram self-join with the same
+        # boilerplate cap (df <= 64); planted heads + unique tails
+        "docs_verbatim_spans": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 150
+            ), planted AS (
+              SELECT doc_id + 100000 AS doc_id,
+                array_to_string(list_slice(string_split(t, ' '), 1, 40), ' ')
+                || ' unique tail for planted copy number '
+                || CAST(doc_id AS VARCHAR) AS t
+              FROM base WHERE doc_id < 30
+            ), allc AS (
+              SELECT doc_id AS id, t FROM base
+              UNION ALL SELECT doc_id, t FROM planted
+            ), w AS (
+              SELECT id, string_split(t, ' ') AS w FROM allc
+            ), g AS (
+              SELECT DISTINCT id,
+                     array_to_string(list_slice(w, i, i + 31), ' ') AS gram
+              FROM w, unnest(range(1, greatest(len(w) - 31, 1) + 1)) AS u(i)
+            ), keep AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64
+            ), gk AS (
+              SELECT id, gram FROM g JOIN keep USING (gram)
+            )
+            SELECT l.id AS a, r.id AS b, count(*) AS n_shared_spans
+            FROM gk l JOIN gk r USING (gram)
+            WHERE l.id < r.id GROUP BY 1, 2
         """,
         # decontamination: 8-word-gram join; bench = first 12 normalized
         # words of docs 0..19 (identical derivation both sides)

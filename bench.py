@@ -143,6 +143,8 @@ def main() -> None:
         "docs_redact",
         "docs_repetition",
         "docs_contamination",
+        "docs_verbatim_spans",
+        "docs_mixture",
         "emb_ann_incremental",
         "conversation_prefix_dedup",
         "docs_minhash_lsh",

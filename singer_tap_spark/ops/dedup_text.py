@@ -397,6 +397,56 @@ def benchmark_contamination(
     )
 
 
+def verbatim_span_pairs(
+    docs: DataFrame,
+    n: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_docs: int = 64,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Partial-copy detection: (a, b, n_shared_spans) for documents sharing
+    at least one VERBATIM ``n``-word span — the exact-substring dedup mode
+    (public practice: Lee et al.'s "Deduplicating Training Data" finds
+    that long verbatim spans copied into otherwise-unique documents evade
+    whole-document similarity; a 32-word window is the classic setting).
+    n-gram Jaccard at any threshold misses a paragraph pasted into a long
+    unrelated doc; this catches exactly that.
+
+    Shape: distinct word n-gram rows per doc (Arrow UDF by default — see
+    ``_word_ngrams_udf``), ONE self-equi-join on the span string.  Long
+    spans are near-unique, so groups are tiny — except boilerplate: spans
+    appearing in more than ``max_gram_docs`` documents are DROPPED before
+    pairing (a span shared by 10^4 docs would emit 10^8 pairs; that's
+    template text, the whole-doc dedup family's job).  The cap is a
+    documented coverage bound, not a silent one — pairs are still found
+    through any OTHER span the two docs share.
+    """
+    nd = _with_norm(docs, text_col, id_col)
+    if impl == "arrow":
+        gram_col = _word_ngrams_udf((n,))(F.col("_t"))
+    elif impl == "expr":
+        gram_col = word_ngrams("_t", n)
+    else:
+        raise ValueError(f"unknown verbatim_span_pairs impl: {impl!r}")
+    grams = nd.select(F.col("id"), F.explode(gram_col).alias("gram"))
+    # drop boilerplate spans BEFORE the self-join (count is partial-agg)
+    keep = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_gram_docs)
+        .select("gram")
+    )
+    g = grams.join(keep, "gram")
+    return (
+        g.alias("l")
+        .join(g.alias("r"), "gram")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("n_shared_spans"))
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -341,3 +341,43 @@ def test_benchmark_contamination_impls_identical(spark):
     b = benchmark_contamination(docs, bench, n=8, impl="expr")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_verbatim_span_pairs(spark):
+    """Partial copying caught (a pasted 32-word span inside an otherwise-
+    unique doc); whole-doc Jaccard at 0.5 misses the same pair; the
+    boilerplate cap drops ubiquitous spans; impls identical."""
+    from singer_tap_spark.ops.dedup_text import (
+        ngram_jaccard_pairs,
+        verbatim_span_pairs,
+    )
+
+    span = " ".join(f"w{i}" for i in range(40))  # 40 unique words
+    filler_a = " ".join(f"a{i}" for i in range(200))
+    filler_b = " ".join(f"b{i}" for i in range(200))
+    boiler = " ".join(f"t{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " " + filler_a),
+            (2, filler_b + " " + span),
+            (3, "unrelated " + " ".join(f"c{i}" for i in range(100))),
+        ]
+        # boilerplate span shared by many docs -> capped out
+        + [(10 + i, boiler + f" unique{i} " + " ".join(f"d{i}_{j}" for j in range(40)))
+           for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r["n_shared_spans"]
+           for r in verbatim_span_pairs(docs, n=32, max_gram_docs=4).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 9  # 40-32+1 shared spans
+    assert all(a not in range(10, 18) and b not in range(10, 18)
+               for a, b in out)  # boilerplate capped, no pair storm
+    # whole-doc similarity misses the partial copy at mainstream thresholds
+    jac = {(r["a"], r["b"]) for r in
+           ngram_jaccard_pairs(docs.where("doc_id <= 3"), n=4,
+                               threshold=0.5).collect()}
+    assert (1, 2) not in jac
+
+    a = {tuple(r) for r in verbatim_span_pairs(docs, n=32).collect()}
+    b = {tuple(r) for r in verbatim_span_pairs(docs, n=32, impl="expr").collect()}
+    assert a == b
