@@ -64,6 +64,8 @@ def _sync(args) -> None:
         if args.source_options
         else None,
         delta_feed_compact_every=args.delta_feed_compact_every,
+        rejects_path=args.rejects_path,
+        decode_errors=args.decode_errors,
     )
     p = CDCPipeline(spark, cfg)
     if args.bootstrap_snapshot:
@@ -265,6 +267,17 @@ def main(argv: list[str] | None = None) -> None:
         "--delta-feed-compact-every", type=int, default=16,
         help="fold the delta feed's mor state deltas into its base every "
              "K microbatches (0 = never)",
+    )
+    s.add_argument(
+        "--rejects-path", default=None, metavar="PATH",
+        help="dead-letter queue for the jsonl/payload wire: undecodable "
+             "lines land here as (value, reason) parquet instead of being "
+             "dropped — idempotent per batch; the reference aborts the run "
+             "instead (http-tap/main.go:59-61)",
+    )
+    s.add_argument(
+        "--decode-errors", choices=["skip", "fail"], default="skip",
+        help="'fail' restores the reference's abort-on-bad-line semantics",
     )
     s.add_argument(
         "--tinyint-as-boolean", action=argparse.BooleanOptionalAction,

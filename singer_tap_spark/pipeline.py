@@ -85,6 +85,22 @@ class PipelineConfig:
     #   directly (parquet, json) passes through typed.
     source_format: str | None = None
     source_options: dict | None = None
+    # dead-letter queue for the jsonl/payload wire (quarantine, not abort):
+    # the reference ABORTS the whole run on one unparseable stdin line
+    # (http-tap/main.go:59-61 wraps any parseInput error and returns) —
+    # at 10^10 events that policy turns one corrupt record into a dead
+    # pipeline, so the distributed upgrade is a quarantine table: lines
+    # that are not valid change events land under ``rejects_path`` as
+    # (value, reason) parquet [reason in json_parse_failed |
+    # unknown_message_type | missing_required_field], written IDEMPOTENTLY
+    # (batch replay: whole-dir overwrite — quarantine is a deterministic
+    # function of the log; streaming: per-microbatch ``batch=N`` overwrite
+    # like the delta feed).  ``decode_errors='fail'`` restores the
+    # reference's fail-loudly semantics (raise on the first reject, after
+    # quarantining it when rejects_path is also set).  Typed sources
+    # (parquet changelog) have no decode step, so no rejects.
+    rejects_path: str | None = None
+    decode_errors: str = "skip"  # "skip" | "fail"
 
 
 class CDCPipeline:
@@ -182,7 +198,8 @@ class CDCPipeline:
         raw = self.spark.read.text(self.cfg.changelog_path)
         return self._decode_jsonl(raw)
 
-    def _decode_jsonl(self, raw: DataFrame) -> DataFrame:
+    def _wire_schema_pair(self):
+        """(record schema, Singer envelope schema) for the jsonl wire."""
         from pyspark.sql import types as T
 
         from singer_tap_spark.changelog import CHANGE_SCHEMA
@@ -206,18 +223,100 @@ class CDCPipeline:
                 T.StructField("record", schema),
             ]
         )
+        return schema, envelope
+
+    def _decode_jsonl(self, raw: DataFrame) -> DataFrame:
+        return self._decode_jsonl_split(raw)[0]
+
+    def _decode_jsonl_split(self, raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """JSON-lines decode returning ``(rows, rejects)``.
+
+        ``rows`` — typed change events, both wire shapes accepted
+        (parseInput, http-tap/main.go:98-126): full Singer RECORD envelopes
+        and bare change-event objects; SCHEMA/STATE control lines and blank
+        lines are EXPECTED and belong to neither output.
+
+        ``rejects`` — the dead-letter complement ``(value, reason)``:
+        * ``json_parse_failed``   — the line is not parseable JSON.
+          PERMISSIVE ``from_json`` never returns a NULL struct (malformed
+          input yields all-null FIELDS — indistinguishable from a valid
+          object with none of the schema's keys), so the envelope parse
+          carries a ``columnNameOfCorruptRecord`` field: non-null exactly
+          when the parser gave up on the line;
+        * ``unknown_message_type`` — valid envelope, ``type`` outside
+          RECORD/SCHEMA/STATE (the reference errors here too,
+          http-tap/main.go:125);
+        * ``missing_required_field`` — parseable, but no ``seq`` after
+          decoding (unroutable: the engine cannot order it).
+        Both outputs are projections of ONE parse — Catalyst prunes each
+        side's unused columns, no second from_json evaluation is planned."""
+        from pyspark.sql import types as T
+
+        schema, envelope = self._wire_schema_pair()
+        envelope = T.StructType(
+            [*envelope.fields, T.StructField("_corrupt_line", T.StringType())]
+        )
         parsed = raw.select(
-            F.from_json("value", envelope).alias("e"),
+            "value",
+            F.from_json(
+                "value", envelope,
+                {"columnNameOfCorruptRecord": "_corrupt_line"},
+            ).alias("e"),
             F.from_json("value", schema).alias("b"),
         )
-        rows = parsed.where(
-            F.col("e.type").isNull() | (F.col("e.type") == "RECORD")
-        ).select(
-            F.when(F.col("e.type") == "RECORD", F.col("e.record"))
-            .otherwise(F.col("b"))
-            .alias("r")
+        etype = F.col("e.type")
+        candidate = etype.isNull() | (etype == "RECORD")
+        # isin() is NULL (not false) for a NULL type — coalesce so bare
+        # change events don't null out the reject predicate
+        control = F.coalesce(etype.isin("SCHEMA", "STATE"), F.lit(False))
+        rec = F.when(etype == "RECORD", F.col("e.record")).otherwise(F.col("b"))
+        decoded = parsed.select(
+            "value", candidate.alias("_cand"), control.alias("_ctl"),
+            F.col("e._corrupt_line").isNotNull().alias("_unparsed"),
+            rec.alias("r"),
         )
-        return rows.select("r.*").where(F.col("seq").isNotNull())
+        rows = (
+            decoded.where(F.col("_cand") & F.col("r.seq").isNotNull())
+            .select("r.*")
+        )
+        rejects = decoded.where(
+            ~F.col("_ctl")
+            & (~F.col("_cand") | F.col("r.seq").isNull())
+            & (F.trim(F.col("value")) != "")
+        ).select(
+            "value",
+            F.when(F.col("_unparsed"), F.lit("json_parse_failed"))
+            .when(~F.col("_cand"), F.lit("unknown_message_type"))
+            .otherwise(F.lit("missing_required_field"))
+            .alias("reason"),
+        )
+        return rows, rejects
+
+    def _handle_rejects(self, rejects: DataFrame, batch_id: int | None) -> None:
+        """Quarantine and/or abort per ``cfg.rejects_path``/``decode_errors``.
+
+        Write ORDER (streaming): rejects land in their idempotent
+        ``batch=N`` partition BEFORE the merge commit — a crash anywhere
+        after leaves a partition the replay simply rewrites byte-identically
+        (the same contract as the delta feed's ``batch=N`` overwrite).
+        Batch replay overwrites the whole directory: the quarantine is a
+        deterministic function of the current log, so re-running cannot
+        duplicate rows."""
+        if self.cfg.rejects_path is None and self.cfg.decode_errors != "fail":
+            return
+        if self.cfg.rejects_path is not None:
+            path = self.cfg.rejects_path
+            if batch_id is not None:
+                path = f"{path}/batch={batch_id}"
+            rejects.write.mode("overwrite").parquet(path)
+        if self.cfg.decode_errors == "fail":
+            bad = rejects.select("value", "reason").limit(1).collect()
+            if bad:
+                raise ValueError(
+                    "undecodable change record (decode_errors='fail', the "
+                    f"reference's abort semantics): reason={bad[0]['reason']} "
+                    f"line={bad[0]['value'][:200]!r}"
+                )
 
     def _read_changelog(self) -> DataFrame:
         if self.cfg.changelog_format == "jsonl":
@@ -365,7 +464,10 @@ class CDCPipeline:
         have boundaries to interrupt at.  FULL_TABLE mode ignores saved
         lineage and rebuilds from offset zero (sync.go:81-83)."""
         if self.cfg.changelog_format == "jsonl":
-            df = self._project(self._read_jsonl())
+            raw = self.spark.read.text(self.cfg.changelog_path)
+            rows, rejects = self._decode_jsonl_split(raw)
+            self._handle_rejects(rejects, None)
+            df = self._project(rows)
             retained_mins = None  # no footers: computed below only if needed
         else:
             schema, retained_mins = self._log_metadata()
@@ -430,10 +532,22 @@ class CDCPipeline:
         watermarked dedup upstream (see :meth:`run_delta_feed`)."""
         if not self.cfg.checkpoint_dir:
             raise ValueError("checkpoint_dir required for streaming")
-        src = self._stream_source(dedup=False)
+        # quarantine/fail needs the RAW payload lines in the sink (the
+        # rejects are gone once the source pre-decodes), so decode moves
+        # inside foreachBatch for payload-style sources; typed sources have
+        # no decode step and flow unchanged
+        defer_decode = (
+            self.cfg.rejects_path is not None or self.cfg.decode_errors == "fail"
+        )
+        src = self._stream_source(dedup=False, decode=not defer_decode)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            self.apply_batch(batch_df, batch_id)
+            if "value" in batch_df.columns and "seq" not in batch_df.columns:
+                rows, rejects = self._decode_jsonl_split(batch_df)
+                self._handle_rejects(rejects, batch_id)  # before the merge
+                self.apply_batch(rows, batch_id)
+            else:
+                self.apply_batch(batch_df, batch_id)
 
         writer = src.writeStream.foreachBatch(_sink).option(
             "checkpointLocation", self.cfg.checkpoint_dir
@@ -444,7 +558,7 @@ class CDCPipeline:
         q.awaitTermination()
         return self.metrics
 
-    def _stream_source(self, dedup: bool = True) -> DataFrame:
+    def _stream_source(self, dedup: bool = True, decode: bool = True) -> DataFrame:
         """Streaming read of the change log; with ``dedup``, watermarked +
         replay-deduplicated (``dropDuplicatesWithinWatermark`` — state
         bounded by the watermark; needed only by sinks that EMIT rows, like
@@ -462,6 +576,11 @@ class CDCPipeline:
         path; non-file sources load path-less and must emit either a
         ``value`` payload (JSON-lines-decoded) or the typed change-event
         columns."""
+        if dedup and not decode:
+            raise ValueError(
+                "dedup needs decoded rows (the watermark is on ts); "
+                "decode=False is only for the quarantine sink"
+            )
         mft = str(self.cfg.max_files_per_trigger)
         if self.cfg.source_format is not None:
             fmt = self.cfg.source_format
@@ -488,10 +607,10 @@ class CDCPipeline:
                 else reader.load()
             )
             if "value" in raw.columns and "seq" not in raw.columns:
-                # payload-style source (kafka/text): JSON-lines decode
-                src = self._decode_jsonl(
-                    raw.select(F.col("value").cast("string").alias("value"))
-                )
+                # payload-style source (kafka/text): JSON-lines decode —
+                # deferred to the sink when decode=False (quarantine path)
+                payload = raw.select(F.col("value").cast("string").alias("value"))
+                src = self._decode_jsonl(payload) if decode else payload
             else:
                 src = raw
         elif self.cfg.changelog_format == "jsonl":
@@ -500,7 +619,7 @@ class CDCPipeline:
                 .option("maxFilesPerTrigger", mft)
                 .load(self.cfg.changelog_path)
             )
-            src = self._decode_jsonl(raw)
+            src = self._decode_jsonl(raw) if decode else raw
         else:
             src = (
                 self.spark.readStream.schema(self._log_schema())

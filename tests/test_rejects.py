@@ -1,0 +1,180 @@
+"""Dead-letter queue (quarantine) for the jsonl/payload wire.
+
+The reference ABORTS the entire run when one stdin line fails to parse
+(http-tap/main.go:59-61) or carries an unknown message type (:125).  At
+10^10 events that turns one corrupt record into a dead pipeline, so the
+engine quarantines instead: undecodable lines land under ``rejects_path``
+as (value, reason) parquet, good rows flow, SCHEMA/STATE control lines and
+blank lines belong to neither side, and ``decode_errors='fail'`` restores
+the reference's semantics.  Both write paths are idempotent (batch:
+whole-dir overwrite; streaming: per-microbatch ``batch=N`` overwrite,
+rejects committed BEFORE the merge)."""
+
+import json
+import os
+
+import pytest
+
+from singer_tap_spark import CDCPipeline, PipelineConfig
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _line(seq, conv="c1", turn=0, op="UPSERT"):
+    return json.dumps(
+        {
+            "shard": "shard-0",
+            "offset": seq,
+            "seq": seq,
+            "op": op,
+            "ts": f"2026-01-01T00:00:{seq:02d}.000Z",
+            "conv_id": conv,
+            "turn_idx": turn,
+            "role": "user",
+            "text": f"t{seq}",
+            "tool": None,
+            "schema_version": 1,
+        }
+    )
+
+
+GOOD = [
+    _line(1, "c1", 0),
+    _line(2, "c1", 1),
+    _line(3, "c2", 0),
+    # full Singer RECORD envelope form on the same stream
+    json.dumps(
+        {
+            "type": "RECORD",
+            "stream": "transcripts",
+            "record": json.loads(_line(4, "c2", 1)),
+        }
+    ),
+]
+CONTROL = [
+    json.dumps({"type": "SCHEMA", "stream": "transcripts",
+                "schema": {"properties": {"conv_id": {"type": ["null", "string"]}}}}),
+    json.dumps({"type": "STATE", "value": {}}),
+    "",
+    "   ",
+]
+BAD = [
+    '{"shard": "shard-0", "offset": 9, not json at all',        # parse fail
+    json.dumps({"type": "ACTIVATE_VERSION", "stream": "x"}),     # unknown type
+    json.dumps({"shard": "shard-0", "offset": 9, "op": "UPSERT",
+                "conv_id": "c9", "turn_idx": 0}),                # no seq
+]
+EXPECT_REASONS = {
+    "json_parse_failed": 1,
+    "unknown_message_type": 1,
+    "missing_required_field": 1,
+}
+
+
+def _write_log(base):
+    os.makedirs(f"{base}/log", exist_ok=True)
+    with open(f"{base}/log/part-0.jsonl", "w") as f:
+        f.write("\n".join(GOOD + CONTROL + BAD) + "\n")
+
+
+def _cfg(base, **kw):
+    return PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lin.json",
+        checkpoint_dir=f"{base}/ckpt",
+        changelog_format="jsonl",
+        **kw,
+    )
+
+
+def _reasons(spark, path):
+    rows = spark.read.parquet(path).groupBy("reason").count().collect()
+    return {r["reason"]: r["count"] for r in rows}
+
+
+def test_batch_quarantine_and_idempotence(spark, tmp_path):
+    base = str(tmp_path)
+    _write_log(base)
+    cfg = _cfg(base, rejects_path=f"{base}/rejects")
+    CDCPipeline(spark, cfg).replay()
+
+    # good rows all applied (3 bare + 1 RECORD envelope)
+    tgt = spark.read.parquet(f"{base}/tgt")
+    assert tgt.select(*KEYS).distinct().count() == 4
+    # the three bad lines quarantined with the right reasons; control lines
+    # and blanks in neither output
+    assert _reasons(spark, f"{base}/rejects") == EXPECT_REASONS
+
+    # FULL_TABLE re-run: quarantine is a deterministic function of the log —
+    # overwrite, not append (no duplicate rejects), target unchanged
+    cfg2 = _cfg(base, rejects_path=f"{base}/rejects",
+                replication_method="FULL_TABLE")
+    CDCPipeline(spark, cfg2).replay()
+    assert _reasons(spark, f"{base}/rejects") == EXPECT_REASONS
+    assert spark.read.parquet(f"{base}/tgt").select(*KEYS).distinct().count() == 4
+
+
+def test_decode_errors_fail_matches_reference_abort(spark, tmp_path):
+    base = str(tmp_path)
+    _write_log(base)
+    with pytest.raises(ValueError, match="undecodable change record"):
+        CDCPipeline(spark, _cfg(base, decode_errors="fail")).replay()
+    # rejects_path set too: the line is quarantined BEFORE the abort
+    cfg = _cfg(base, rejects_path=f"{base}/rej2", decode_errors="fail")
+    cfg.target_path = f"{base}/tgt2"
+    cfg.lineage_path = f"{base}/lin2.json"
+    with pytest.raises(ValueError, match="undecodable change record"):
+        CDCPipeline(spark, cfg).replay()
+    assert sum(_reasons(spark, f"{base}/rej2").values()) == 3
+
+
+def test_clean_log_quarantine_writes_empty_not_missing(spark, tmp_path):
+    """A fully-clean log still materializes the (empty) quarantine dir, so
+    downstream auditing can distinguish 'no rejects' from 'not enabled'."""
+    base = str(tmp_path)
+    os.makedirs(f"{base}/log")
+    with open(f"{base}/log/part-0.jsonl", "w") as f:
+        f.write("\n".join(GOOD) + "\n")
+    CDCPipeline(spark, _cfg(base, rejects_path=f"{base}/rejects")).replay()
+    assert spark.read.parquet(f"{base}/rejects").count() == 0
+
+
+def test_streaming_quarantine_and_forced_replay(spark, tmp_path):
+    """Streaming path: rejects land in batch=N BEFORE the merge; a forced
+    checkpoint replay rewrites the partition byte-identically (no dupes)
+    and the table matches the batch path."""
+    base = str(tmp_path)
+    _write_log(base)
+    cfg = _cfg(base, rejects_path=f"{base}/rejects")
+    p = CDCPipeline(spark, cfg)
+    p.run_streaming(available_now=True)
+
+    tgt = spark.read.parquet(f"{base}/tgt")
+    assert tgt.select(*KEYS).distinct().count() == 4
+    assert _reasons(spark, f"{base}/rejects") == EXPECT_REASONS
+    parts = [e for e in os.listdir(f"{base}/rejects") if e.startswith("batch=")]
+    assert parts  # partitioned per microbatch
+
+    # forced replay of the last committed microbatch (crash window)
+    commits = sorted(
+        c for c in os.listdir(f"{base}/ckpt/commits") if not c.startswith(".")
+    )
+    last = commits[-1]
+    os.remove(f"{base}/ckpt/commits/{last}")
+    crc = f"{base}/ckpt/commits/.{last}.crc"  # hadoop local-fs sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    CDCPipeline(spark, cfg).run_streaming(available_now=True)
+    assert _reasons(spark, f"{base}/rejects") == EXPECT_REASONS
+    assert spark.read.parquet(f"{base}/tgt").select(*KEYS).distinct().count() == 4
+
+
+def test_quarantine_off_keeps_r3_skip_semantics(spark, tmp_path):
+    """Default config (no rejects_path): bad lines silently skipped, good
+    rows applied — the pre-DLQ behavior, unchanged."""
+    base = str(tmp_path)
+    _write_log(base)
+    CDCPipeline(spark, _cfg(base)).replay()
+    assert spark.read.parquet(f"{base}/tgt").select(*KEYS).distinct().count() == 4
+    assert not os.path.exists(f"{base}/rejects")
