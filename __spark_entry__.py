@@ -200,6 +200,17 @@ def q_docs_splits(spark, sf_dir):
     return assign_splits(d, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def q_docs_chunks(spark, sf_dir):
+    """Token-window chunking (64-token windows, stride 48): long docs become
+    model-context-sized overlapping pieces — the step between curation and
+    tokenization.  Map-only plan (no shuffle), plan-gated in
+    test_ops_chunk."""
+    from singer_tap_spark.ops.chunk import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, max_tokens=64, stride=48)
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Sub-word-ish token budgeting count (BPE-style regex proxy): word
     pieces + digit runs + single punctuation marks."""
@@ -723,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_vs_full_rowcount": q_incremental_vs_full_rowcount,
         "pk_resume_filter": q_pk_resume_filter,
         "docs_token_count": q_docs_token_count,
+        "docs_chunks": q_docs_chunks,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_splits": q_docs_splits,
@@ -906,6 +918,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        # sliding 64-token windows, stride 48 — chunk i covers tokens
+        # [i*48, i*48+64); n_chunks = 1 if fits else
+        # floor((n-64+47)/48)+1 (integer-exact both engines); empty docs
+        # yield one empty chunk (array_to_string of [] is NULL in DuckDB,
+        # hence the coalesce)
+        "docs_chunks": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(coalesce(text,''))) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+')
+                     END AS w
+              FROM documents
+            ), sized AS (
+              SELECT doc_id, w,
+                CASE WHEN len(w) <= 64 THEN 1
+                     ELSE CAST(floor((len(w) - 64 + 47) / 48) AS BIGINT) + 1
+                END AS nc
+              FROM base
+            ), expanded AS (
+              SELECT doc_id, w, unnest(range(nc)) AS i FROM sized
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   CAST(len(w[i*48+1 : i*48+64]) AS INT) AS chunk_tokens,
+                   coalesce(array_to_string(w[i*48+1 : i*48+64], ' '), '')
+                     AS chunk_text
+            FROM expanded
         """,
         # interval partitioning of the md5 key space; names iterate in
         # sorted order (test < train < val) matching assign_splits.

@@ -145,6 +145,7 @@ def main() -> None:
         "docs_contamination",
         "docs_verbatim_spans",
         "docs_mixture",
+        "docs_chunks",
         "emb_ann_incremental",
         "conversation_prefix_dedup",
         "docs_minhash_lsh",
