@@ -237,6 +237,18 @@ def q_docs_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_docs_quality_gate(spark, sf_dir):
+    """Corpus-relative quality gating: keep the top 30% by quality score.
+    Threshold = exact percentile (bit-identical to DuckDB quantile_cont,
+    checked at every shipped sf); corpus never shuffles — one score agg +
+    a 1-row broadcast join (plan-gated in test_ops_dedup)."""
+    from singer_tap_spark.ops.curate import quantile_gate
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return quantile_gate(scored, keep_frac=0.3)
+
+
 def q_docs_exact_dedup(spark, sf_dir):
     """Exact near-dup grouping on the doubled corpus (forces n_dups=2)."""
     d = _t(spark, sf_dir, "documents")
@@ -741,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_lang_id": q_docs_lang_id,
         "docs_quality_score": q_docs_quality_score,
+        "docs_quality_gate": q_docs_quality_gate,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -990,6 +1003,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_id": _LANG_SQL,
         "docs_quality_score": _QUALITY_SQL,
+        # top-30% gate: survivors at-or-above the 0.7 quantile; DuckDB
+        # quantile_cont interpolates identically to Spark's exact
+        # percentile (verified bit-equal at every shipped sf)
+        # NOTE: concatenation, not an f-string — _QUALITY_SQL contains a
+        # literal '{' inside a regex character class
+        "docs_quality_gate": (
+            "WITH scored AS (" + _QUALITY_SQL + """)
+            SELECT doc_id, quality FROM scored
+            WHERE quality >= (SELECT quantile_cont(quality, 0.7) FROM scored)
+        """
+        ),
         "docs_exact_dedup": f"""
             WITH doubled AS (
               SELECT doc_id, text FROM documents

@@ -134,6 +134,7 @@ def main() -> None:
         "dedup_exact_replay",
         "type_normalization",
         "docs_quality_score",
+        "docs_quality_gate",
         "docs_lang_id",
         "docs_fingerprint",
         "docs_exact_dedup",

@@ -28,6 +28,42 @@ from singer_tap_spark.ops.text import (
 )
 
 
+def quantile_gate(
+    docs: DataFrame,
+    score_col: str = "quality",
+    keep_frac: float = 0.5,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows by ``score_col`` — corpus-relative
+    quality gating ("best 30% of the crawl"), the complement of curate()'s
+    absolute ``min_quality`` cut.
+
+    Threshold = percentile(score, 1 - keep_frac); rows with score >= it
+    survive (ties inflate the kept set — deterministic, never drops a
+    tied row).  One aggregation over the score column + a 1-row broadcast
+    nested-loop join: the corpus itself never shuffles or sorts.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile``
+    (bit-identical to DuckDB's quantile_cont — oracle-checked); it buffers
+    the score column per partition, fine up to ~10^9 rows of one double.
+    At larger scale set ``exact=False``: ``approx_percentile`` (bounded-
+    memory KLL-style sketch, rank error ~1/accuracy) — same plan shape,
+    sketch-mergeable, no oracle exactness."""
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    p = 1.0 - keep_frac
+    expr = (
+        f"percentile({score_col}, {p!r})"
+        if exact
+        else f"approx_percentile({score_col}, {p!r}, {accuracy})"
+    )
+    thr = docs.agg(F.expr(expr).alias("_thr"))
+    return docs.join(
+        F.broadcast(thr), F.col(score_col) >= F.col("_thr")
+    ).drop("_thr")
+
+
 def curate(
     docs: DataFrame,
     text_col: str = "text",

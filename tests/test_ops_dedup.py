@@ -381,3 +381,54 @@ def test_verbatim_span_pairs(spark):
     a = {tuple(r) for r in verbatim_span_pairs(docs, n=32).collect()}
     b = {tuple(r) for r in verbatim_span_pairs(docs, n=32, impl="expr").collect()}
     assert a == b
+
+
+def test_quantile_gate_keeps_top_fraction(spark):
+    """quantile_gate: survivors are exactly the rows at-or-above the
+    (1-keep_frac) percentile; every kept score >= every dropped score."""
+    from singer_tap_spark.ops.curate import quantile_gate
+
+    rows = [(i, i / 100.0) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, quality double")
+    out = quantile_gate(docs, keep_frac=0.3).collect()
+    kept = {r["doc_id"] for r in out}
+    # percentile(q, 0.7) over 0.00..0.99 = 0.693 -> keeps 0.70..0.99
+    assert kept == set(range(70, 100))
+    # ties never split: duplicate the threshold value
+    docs2 = spark.createDataFrame(
+        [(i, 0.5) for i in range(10)] + [(10, 0.9)],
+        "doc_id long, quality double")
+    out2 = quantile_gate(docs2, keep_frac=0.5).count()
+    assert out2 == 11  # threshold 0.5, all ties kept
+
+    # approx path: same plan shape, near-identical result at this size
+    approx = quantile_gate(docs, keep_frac=0.3, exact=False).count()
+    assert abs(approx - 30) <= 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_gate(docs, keep_frac=0.0)
+
+
+def test_quantile_gate_no_corpus_shuffle(spark):
+    """The corpus side reaches the join without an Exchange: only the
+    1-row threshold aggregate shuffles (partial agg), then broadcasts."""
+    from singer_tap_spark.ops.curate import quantile_gate
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") / 1000.0).alias("quality")
+    )
+    plan = (
+        quantile_gate(docs, keep_frac=0.2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    # no full-corpus Exchange: every Exchange in the plan is the SinglePartition
+    # gather for the 1-row percentile agg
+    import re
+    # agg gather + the broadcast of its 1-row result
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(
+        e in ("SinglePartition", "IdentityBroadcastMode") for e in exchanges
+    ), exchanges
