@@ -278,6 +278,25 @@ def q_docs_dup_clusters(spark, sf_dir):
     return near_dup_clusters(d.select("doc_id"), pairs)
 
 
+def q_docs_cluster_best(spark, sf_dir):
+    """Best-quality survivor per near-dup cluster: the same jaccard-pair
+    component graph as docs_dup_clusters, but the survivor is the
+    HIGHEST-quality member (ties to min id) instead of the min id — keep
+    the cleanest copy of each duplicate group.  One max_by partial-agg
+    shuffle on cluster_id; oracle = recursive-CTE closure + quality window."""
+    from singer_tap_spark.ops.cluster import cluster_survivors, near_dup_clusters
+    from singer_tap_spark.ops.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    clusters = near_dup_clusters(d.select("doc_id"), pairs)
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    surv = cluster_survivors(
+        clusters.join(scored, "doc_id"), score_col="quality"
+    )
+    return surv.join(scored, "doc_id").select("cluster_id", "doc_id", "quality")
+
+
 def q_emb_ann_incremental(spark, sf_dir):
     """Incremental ANN vs a persisted embedding LSH index: corpus vectors
     signed + normalized ONCE into the index; a batch of new vectors gets
@@ -757,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_cluster_best": q_docs_cluster_best,
         "docs_dup_incremental": q_docs_dup_incremental,
         "docs_splits_safe": q_docs_splits_safe,
         "emb_ann_incremental": q_emb_ann_incremental,
@@ -1053,6 +1073,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
             )
             SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
+        """,
+        # same component closure, survivor = best quality (ties -> min id);
+        # concatenation because _QUALITY_SQL holds a literal '{' in a regex
+        "docs_cluster_best": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id AS id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 150
+            ), sh AS (
+              SELECT DISTINCT id, substr(t, i, 3) AS shingle
+              FROM base, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS u(i)
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), raw AS (
+              SELECT l.id AS a, r.id AS b, count(*) AS inter
+              FROM sh l JOIN sh r USING (shingle) WHERE l.id < r.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b
+              FROM raw JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+              WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ), edges AS (
+              SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(id, l) AS (
+              SELECT id, id FROM base
+              UNION
+              SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+            ), clusters AS (
+              SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
+            ), scored AS ("""
+        + _QUALITY_SQL
+        + """)
+            SELECT cluster_id, doc_id, quality FROM (
+              SELECT c.cluster_id, c.doc_id, s.quality,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY s.quality DESC, c.doc_id ASC) AS rn
+              FROM clusters c JOIN scored s USING (doc_id)
+            ) WHERE rn = 1
         """,
         "emb_cosine_topk": _COSINE_SQL,
         "emb_near_dup_pairs": """

@@ -140,6 +140,7 @@ def main() -> None:
         "docs_exact_dedup",
         "docs_ngram_jaccard",
         "docs_dup_clusters",
+        "docs_cluster_best",
         "docs_dup_incremental",
         "docs_redact",
         "docs_repetition",

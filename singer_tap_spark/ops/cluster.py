@@ -146,3 +146,31 @@ def near_dup_clusters(
     # rounds surfaced for tests/diagnostics (O(log n) convergence gate)
     out._cc_rounds = rounds
     return out
+
+
+def cluster_survivors(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One survivor id per cluster: ``(cluster_col, id_col)``.
+
+    ``score_col=None`` keeps the MIN id (the canonical-label convention —
+    for min-label components that is the cluster_id itself).  With a score
+    column the survivor is the BEST-scoring member, ties broken to the min
+    id — the policy a training corpus wants when quality is known (keep the
+    cleanest copy of each near-dup group, not the accidentally-lowest id).
+
+    One partial-agg shuffle on cluster_id (``max_by`` combines map-side);
+    a billion-member component ships one candidate per map partition, so a
+    giant cluster cannot serialize onto one reducer.  The min-id tie-break
+    negates the id, so ``id_col`` must be numeric when ``score_col`` is
+    used."""
+    if score_col is None:
+        return members.groupBy(cluster_col).agg(F.min(id_col).alias(id_col))
+    return members.groupBy(cluster_col).agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+        ).alias(id_col)
+    )

@@ -74,6 +74,7 @@ def curate(
     near_dup_jaccard: float | None = None,
     near_dup_hamming: int | None = None,
     cluster_resolve: bool = False,
+    survivor: str = "min_id",
 ) -> DataFrame:
     """Curated corpus: annotated, filtered, exact-deduped (and optionally
     near-deduped).  Output keeps the original columns plus
@@ -94,8 +95,14 @@ def curate(
       1 and 2 even though they are transitively connected through 3.
     - ``cluster_resolve=True``: resolve connected components over the pair
       graph (:func:`singer_tap_spark.ops.cluster.near_dup_clusters`) and
-      keep exactly the MIN id per component — one survivor per transitive
-      near-dup chain, the policy a training corpus actually wants."""
+      keep exactly ONE survivor per component — one per transitive
+      near-dup chain, the policy a training corpus actually wants.
+      ``survivor='min_id'`` (default) keeps the min member id;
+      ``survivor='quality'`` keeps the HIGHEST-quality member (the
+      annotate stage's score, ties to min id) — keep the cleanest copy,
+      not the accidentally-lowest id."""
+    if survivor not in ("min_id", "quality"):
+        raise ValueError(f"survivor must be 'min_id' or 'quality', got {survivor!r}")
     t = F.col(text_col)
     annotated = docs.select(
         "*",
@@ -138,16 +145,23 @@ def curate(
 
     if cluster_resolve:
         # one pair graph over the full corpus (both routes' edges union),
-        # one component resolution, exactly min-per-component survives
+        # one component resolution, exactly one survivor per component
         from functools import reduce
 
-        from singer_tap_spark.ops.cluster import near_dup_clusters
+        from singer_tap_spark.ops.cluster import cluster_survivors, near_dup_clusters
 
         pairs = reduce(lambda x, y: x.unionByName(y), (r(out) for r in routes))
         clusters = near_dup_clusters(out.select(id_col), pairs, id_col=id_col)
-        survivors = clusters.where(
-            F.col(id_col) == F.col("cluster_id")
-        ).select(id_col)
+        if survivor == "quality":
+            members = clusters.join(out.select(id_col, "quality"), id_col)
+            survivors = cluster_survivors(
+                members, id_col=id_col, score_col="quality"
+            ).select(id_col)
+        else:
+            # min-label components: the min member IS the cluster_id
+            survivors = clusters.where(
+                F.col(id_col) == F.col("cluster_id")
+            ).select(id_col)
         return out.join(survivors, id_col, "left_semi")
 
     # greedy: routes apply sequentially, each over the already-thinned corpus

@@ -154,3 +154,66 @@ def test_contamination_safe_splits_no_cluster_spans_splits(spark):
     assert per_cluster.where("n_splits > 1").count() == 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_cluster_survivors_best_quality(spark):
+    """survivor='quality': highest-quality member wins, ties break to min
+    id; min_id mode keeps the canonical label member."""
+    from singer_tap_spark.ops.cluster import cluster_survivors
+
+    members = spark.createDataFrame(
+        [
+            # cluster 1: quality peaks at doc 3
+            (1, 1, 0.2), (2, 1, 0.9), (3, 1, 0.95),
+            # cluster 4: tie between 5 and 6 -> min id 5
+            (4, 4, 0.5), (5, 4, 0.8), (6, 4, 0.8),
+            # singleton
+            (7, 7, 0.1),
+        ],
+        "doc_id long, cluster_id long, quality double",
+    )
+    best = {
+        r["cluster_id"]: r["doc_id"]
+        for r in cluster_survivors(members, score_col="quality").collect()
+    }
+    assert best == {1: 3, 4: 5, 7: 7}
+    mins = {
+        r["cluster_id"]: r["doc_id"]
+        for r in cluster_survivors(members).collect()
+    }
+    assert mins == {1: 1, 4: 4, 7: 7}
+
+
+def test_curate_quality_survivor_keeps_cleanest(spark):
+    """curate(cluster_resolve=True, survivor='quality') keeps exactly one
+    doc per near-dup chain — the highest-quality one, which greedy min-id
+    would have dropped."""
+    from singer_tap_spark.ops.curate import curate
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest tonight") * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base + " zz"),                     # near-dup chain a~b~c
+            (2, base + " zz yy"),
+            (3, base + " zz yy xx. Clean, well-punctuated copy."),
+            (4, "completely different unrelated text about spark engines "
+                "and the art of distributed joins in large clusters"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate(
+        docs, min_quality=0.0, min_tokens=0,
+        near_dup_jaccard=0.5, cluster_resolve=True, survivor="quality",
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # one survivor from {1,2,3} (the highest-quality member) + doc 4
+    assert len(kept) == 2 and kept[1] == 4
+    q = {r["doc_id"]: r["quality"]
+         for r in curate(docs, min_quality=0.0, min_tokens=0).collect()}
+    assert q[kept[0]] == max(q[1], q[2], q[3])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate(docs, survivor="bogus")
