@@ -237,6 +237,26 @@ def q_docs_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_docs_normalize(spark, sf_dir):
+    """Web-corpus text cleanup (C4/CCNet-style pre-pass): control chars
+    stripped, exotic spaces/curly quotes/long dashes/ellipsis folded to
+    ASCII, whitespace collapsed.  The entry DECORATES each doc with a dirty
+    suffix (bell char, curly quotes, en dash, ellipsis, NBSP) so the folds
+    are exercised on every row, not just ASCII-identity.  Patterns are
+    regex-escape text (\\x{...}), identical under Java regex and RE2 —
+    byte-exact oracle."""
+    from singer_tap_spark.ops.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit("\x07 “quoted” – … tail"))
+    clean = normalize_text(dirty)
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars"),
+    )
+
+
 def q_docs_quality_gate(spark, sf_dir):
     """Corpus-relative quality gating: keep the top 30% by quality score.
     Threshold = exact percentile (bit-identical to DuckDB quantile_cont,
@@ -773,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_quality_score": q_docs_quality_score,
         "docs_quality_gate": q_docs_quality_gate,
+        "docs_normalize": q_docs_normalize,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -808,6 +829,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _cleanup_sql(col: str) -> str:
+    """The normalize_text regexp chain in DuckDB SQL — built from the SAME
+    CLEANUP_STEPS pattern strings the Spark op applies (regex-escape text,
+    so they embed verbatim in SQL literals and parse identically in RE2)."""
+    from singer_tap_spark.ops.text import CLEANUP_STEPS
+
+    e = col
+    for pat, repl in CLEANUP_STEPS:
+        e = f"regexp_replace({e}, '{pat}', '{repl.replace(chr(39), chr(39) * 2)}', 'g')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
+# the entry's dirty-suffix decoration, SQL side: BEL + curly quotes +
+# en dash + ellipsis + NBSP (chr(7)/chr(160) — raw control bytes cannot
+# appear in SQL literals)
+_DIRTY_SQL = "(text || chr(7) || ' “quoted” – …' || chr(160) || 'tail')"
 
 # language-ID chain, mirroring singer_tap_spark.ops.text.lang_id exactly
 # (codes iterated in sorted order; strict > so earlier code wins ties)
@@ -1026,6 +1065,15 @@ def oracle_sql() -> dict[str, str]:
         # top-30% gate: survivors at-or-above the 0.7 quantile; DuckDB
         # quantile_cont interpolates identically to Spark's exact
         # percentile (verified bit-equal at every shipped sf)
+        # byte-exact text cleanup on the decorated corpus (every row
+        # exercises the control-strip + unicode folds)
+        "docs_normalize": (
+            "SELECT doc_id, "
+            + _cleanup_sql(_DIRTY_SQL)
+            + " AS clean_text, CAST(length("
+            + _cleanup_sql(_DIRTY_SQL)
+            + ") AS BIGINT) AS n_chars FROM documents"
+        ),
         # NOTE: concatenation, not an f-string — _QUALITY_SQL contains a
         # literal '{' inside a regex character class
         "docs_quality_gate": (

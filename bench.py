@@ -143,6 +143,7 @@ def main() -> None:
         "docs_cluster_best",
         "docs_dup_incremental",
         "docs_redact",
+        "docs_normalize",
         "docs_repetition",
         "docs_contamination",
         "docs_verbatim_spans",

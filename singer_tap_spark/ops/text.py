@@ -46,6 +46,39 @@ def bpe_ish_token_count(text: Column) -> Column:
     ).cast("int")
 
 
+# normalize_text patterns as REGEX-ESCAPE TEXT (\x{...} codepoint form),
+# not raw characters: the identical pattern strings parse under Java regex
+# (Spark) and RE2 (DuckDB), and they can be embedded verbatim in oracle SQL
+# literals (raw control bytes cannot).  Steps:
+# (1) strip C0 control chars except \t\n\r, plus DEL;
+# (2) exotic spaces (NBSP, ogham, en/em/thin/zero-width, line/para sep,
+#     ideographic) -> ' ';
+# (3) curly single / (4) curly double quotes -> ASCII; (5) en/em/
+# horizontal-bar dashes -> '-'; (6) ellipsis -> '...'
+CLEANUP_STEPS: list[tuple[str, str]] = [
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+    (r"[\x{00a0}\x{1680}\x{2000}-\x{200b}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]", " "),
+    (r"[\x{2018}\x{2019}\x{201a}\x{201b}]", "'"),
+    (r"[\x{201c}\x{201d}\x{201e}\x{201f}]", '"'),
+    (r"[\x{2013}\x{2014}\x{2015}]", "-"),
+    (r"\x{2026}", "..."),
+]
+
+
+def normalize_text(text: Column, collapse_whitespace: bool = True) -> Column:
+    """Web-corpus text cleanup (the C4/CCNet-style pre-pass): strip control
+    characters, fold exotic Unicode spaces / curly quotes / long dashes /
+    ellipsis to ASCII, then (optionally) collapse whitespace runs and trim.
+    Pure Catalyst regexp chain — zero UDFs, whole-stage codegen, and every
+    pattern is engine-portable (oracle-checked byte-exact in DuckDB)."""
+    out = F.coalesce(text, F.lit(""))
+    for pat, repl in CLEANUP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint of the normalized text (md5 — same
     bytes-in/bytes-out in Spark and DuckDB, so oracle-checkable)."""

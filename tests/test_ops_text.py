@@ -71,3 +71,36 @@ def test_repetition_ratio_impls_identical(spark):
 
     with _pytest.raises(ValueError, match="unknown repetition_ratio impl"):
         repetition_ratio(F.col("text"), impl="nope")
+
+
+def test_normalize_text_folds_and_strips(spark):
+    """Control chars stripped, exotic spaces/quotes/dashes/ellipsis folded
+    to ASCII, whitespace collapsed; NULL -> ''; idempotent."""
+    from singer_tap_spark.ops.text import normalize_text
+
+    s = "a\x07b c‘d’ “q” – … e​f"
+    df = spark.createDataFrame(
+        [(1, s), (2, None), (3, "  x \n\n y  "), (4, "plain ascii.")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["c"]
+           for r in df.select("doc_id", normalize_text(F.col("text")).alias("c")).collect()}
+    assert out[1] == 'ab c\'d\' "q" - ... e f'
+    assert out[2] == ""
+    assert out[3] == "x y"
+    assert out[4] == "plain ascii."
+    # idempotent: a second pass is the identity
+    twice = df.select(
+        normalize_text(normalize_text(F.col("text"))).alias("c2")
+    ).collect()
+    assert [r["c2"] for r in twice] == [out[i] for i in (1, 2, 3, 4)]
+
+
+def test_normalize_text_keeps_newlines_when_asked(spark):
+    from singer_tap_spark.ops.text import normalize_text
+
+    df = spark.createDataFrame([("para one\n\npara two here",)], ["text"])
+    out = df.select(
+        normalize_text(F.col("text"), collapse_whitespace=False).alias("c")
+    ).first()["c"]
+    assert out == "para one\n\npara two here"  # NBSP folded, newlines kept
