@@ -237,6 +237,29 @@ def q_docs_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_docs_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate line removal: every doc gets a planted
+    corpus-wide footer line (df = 100% >= the 5% threshold -> removed) and
+    a per-doc unique line (df = 1 -> kept); original text rides along as
+    its own line(s).  Catches the repeated-subscribe-blurb mode whole-doc
+    dedup can't.  Threshold arithmetic is forced double on both sides
+    (DuckDB would otherwise do DECIMAL ceil — off-by-one risk on inexact
+    products)."""
+    from singer_tap_spark.ops.curate import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Copyright 2026 Example Corp"),
+            F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(decorated, min_doc_frac=0.05, min_docs=2)
+
+
 def q_docs_normalize(spark, sf_dir):
     """Web-corpus text cleanup (C4/CCNet-style pre-pass): control chars
     stripped, exotic spaces/curly quotes/long dashes/ellipsis folded to
@@ -794,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_score": q_docs_quality_score,
         "docs_quality_gate": q_docs_quality_gate,
         "docs_normalize": q_docs_normalize,
+        "docs_boilerplate": q_docs_boilerplate,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1065,6 +1089,45 @@ def oracle_sql() -> dict[str, str]:
         # top-30% gate: survivors at-or-above the 0.7 quantile; DuckDB
         # quantile_cont interpolates identically to Spark's exact
         # percentile (verified bit-equal at every shipped sf)
+        # per-line corpus-frequency dedup on the decorated corpus: planted
+        # footer removed everywhere, unique lines kept; threshold double-
+        # forced (DECIMAL ceil would round differently on inexact products)
+        "docs_boilerplate": """
+            WITH docs2 AS (
+              SELECT doc_id,
+                     text || chr(10) || 'Copyright 2026 Example Corp'
+                          || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR)
+                     AS t
+              FROM documents
+            ), nd AS (SELECT count(*) AS n FROM docs2),
+            sp AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM docs2),
+            ln AS (SELECT doc_id, unnest(range(len(l))) AS idx, l FROM sp),
+            lw AS (SELECT doc_id, idx, l[idx+1] AS line, trim(l[idx+1]) AS k FROM ln),
+            freq AS (
+              SELECT k, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, k FROM lw WHERE k <> '')
+              GROUP BY k
+            ), boiler AS (
+              SELECT k FROM freq, nd
+              WHERE df >= greatest(2, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT))
+            ), kept AS (
+              SELECT doc_id, idx, line FROM lw
+              WHERE k = '' OR k NOT IN (SELECT k FROM boiler)
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text
+              FROM kept GROUP BY doc_id
+            ), removed AS (
+              SELECT doc_id, count(*) AS n_removed FROM lw
+              WHERE k <> '' AND k IN (SELECT k FROM boiler)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(rb.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN rebuilt rb USING (doc_id)
+            LEFT JOIN removed r USING (doc_id)
+        """,
         # byte-exact text cleanup on the decorated corpus (every row
         # exercises the control-strip + unicode folds)
         "docs_normalize": (

@@ -144,6 +144,7 @@ def main() -> None:
         "docs_dup_incremental",
         "docs_redact",
         "docs_normalize",
+        "docs_boilerplate",
         "docs_repetition",
         "docs_contamination",
         "docs_verbatim_spans",

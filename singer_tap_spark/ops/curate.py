@@ -28,6 +28,79 @@ from singer_tap_spark.ops.text import (
 )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-line corpus-frequency dedup (the CCNet-style boilerplate pass):
+    a LINE that appears in at least ``max(min_docs, ceil(min_doc_frac *
+    n_docs))`` distinct documents is navigation/footer/cookie-banner
+    boilerplate — drop it from every document; unique prose survives.
+    This catches what whole-doc dedup can't: the 10^6 pages that are each
+    unique but all end with the same subscribe blurb.
+
+    Output: ``(id, clean_text, n_removed)`` — lines rejoined in original
+    order; blank lines are structure, never counted or removed.
+
+    Plan shape (10^10 docs): explode to lines (map-only) -> distinct
+    (line-key, doc) + partial-agg count = the line-frequency shuffle ->
+    left join on line-key -> one groupBy(id) reassembly shuffle.  All
+    keyed, no cartesian; the doc-count threshold rides in as a 1-row
+    broadcast (no driver-side count job).  Line keys are trimmed verbatim
+    text — hash them (md5) if line lengths make the frequency shuffle
+    heavy."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("idx", "ln"),
+    ).select(id_col, "idx", "ln", F.trim("ln").alias("k"))
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    freq = (
+        lines.where(F.col("k") != "")
+        .select(id_col, "k")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("_df"))
+    )
+    boiler = (
+        freq.crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("_df")
+            >= F.greatest(F.lit(min_docs), F.ceil(min_doc_frac * F.col("_n")))
+        )
+        .select("k", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(boiler, "k", "left")
+    kept = marked.where(F.col("_boiler").isNull() | (F.col("k") == ""))
+    removed = marked.where(F.col("_boiler").isNotNull() & (F.col("k") != ""))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "ln"))),
+                lambda s: s["ln"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    counts = removed.groupBy(id_col).agg(F.count("*").alias("n_removed"))
+    # left-join from the full id set: a doc whose EVERY line was
+    # boilerplate survives as clean_text='' instead of vanishing
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def quantile_gate(
     docs: DataFrame,
     score_col: str = "quality",

@@ -217,3 +217,37 @@ def test_curate_quality_survivor_keeps_cleanest(spark):
 
     with pytest.raises(ValueError):
         curate(docs, survivor="bogus")
+
+
+def test_remove_boilerplate_lines(spark):
+    """Corpus-frequent lines vanish from every doc; rarer shared lines and
+    unique prose survive; blank lines are structure; a doc that was ALL
+    boilerplate survives as empty."""
+    from singer_tap_spark.ops.curate import remove_boilerplate_lines
+
+    footer = "Subscribe to our newsletter today"
+    pairln = "shared by just two docs"
+    docs = spark.createDataFrame(
+        [(i, f"unique prose {i}\n\n{footer}" + (f"\n{pairln}" if i < 2 else ""))
+         for i in range(6)] + [(99, footer)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(
+        docs, min_doc_frac=0.5, min_docs=3).collect()}
+    assert len(out) == 7
+    for i in range(6):
+        lines = out[i]["clean_text"].split("\n")
+        assert f"unique prose {i}" in lines and footer not in lines
+        assert "" in lines  # blank line kept
+        assert (pairln in lines) == (i < 2)  # df=2 < threshold 4 -> kept
+        assert out[i]["n_removed"] == 1
+    assert out[99]["clean_text"] == "" and out[99]["n_removed"] == 1
+
+    # leading/trailing whitespace variants count as the SAME line key
+    docs2 = spark.createDataFrame(
+        [(1, "x\n  " + footer + "  "), (2, "y\n" + footer), (3, "z\n" + footer)],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["n_removed"] for r in remove_boilerplate_lines(
+        docs2, min_doc_frac=0.9, min_docs=3).collect()}
+    assert out2 == {1: 1, 2: 1, 3: 1}
