@@ -66,6 +66,7 @@ def _sync(args) -> None:
         delta_feed_compact_every=args.delta_feed_compact_every,
         rejects_path=args.rejects_path,
         decode_errors=args.decode_errors,
+        sink_compact_every=args.sink_compact_every,
     )
     p = CDCPipeline(spark, cfg)
     if args.bootstrap_snapshot:
@@ -267,6 +268,12 @@ def main(argv: list[str] | None = None) -> None:
         "--delta-feed-compact-every", type=int, default=16,
         help="fold the delta feed's mor state deltas into its base every "
              "K microbatches (0 = never)",
+    )
+    s.add_argument(
+        "--sink-compact-every", type=int, default=0,
+        help="mor sink maintenance: fold the target table's delta files "
+             "into its base every K applied batches (0 = never; cow "
+             "ignores)",
     )
     s.add_argument(
         "--rejects-path", default=None, metavar="PATH",

@@ -168,7 +168,11 @@ class ParquetLakeTable(LakeTable):
         """Current table state (without sink-metadata columns)."""
         return self.read_internal().drop(SEQ_COL)
 
-    def read_internal(self) -> DataFrame:
+    def read_internal(self, keep_op: bool = False) -> DataFrame:
+        """Resolved state incl. ``_seq``.  ``keep_op=True`` (mor only) keeps
+        the ``_op`` column and DELETE winners — tombstones included — for
+        maintenance jobs that must preserve the LWW guard (compaction with
+        ``retain_tombstones``)."""
         if not self.exists():
             raise FileNotFoundError(f"lake table does not exist: {self.path}")
         self._guard_cow_vs_deltas()
@@ -188,7 +192,7 @@ class ParquetLakeTable(LakeTable):
         if self.mode == "cow" or not os.path.exists(self._delta):
             if base is None:
                 raise FileNotFoundError(f"lake table has no data: {self.path}")
-            return base
+            return base.withColumn(OP_COL, F.lit("STORED")) if keep_op else base
         # merge-on-read: resolve LWW over base (already resolved, acts as
         # op=STORED) + appended delta events (carry their _op incl DELETE)
         delta = (
@@ -208,6 +212,8 @@ class ParquetLakeTable(LakeTable):
             OP_COL, F.lit("STORED")
         ).unionByName(delta)
         resolved = lww_latest(both, self.key_cols, ("ts", SEQ_COL))
+        if keep_op:
+            return resolved
         return resolved.where(F.col(OP_COL) != "DELETE").drop(OP_COL)
 
     # -- merge ---------------------------------------------------------------
@@ -373,15 +379,45 @@ class ParquetLakeTable(LakeTable):
 
 
     # -- maintenance ---------------------------------------------------------
-    def compact(self) -> int:
+    def compact(self, retain_tombstones: bool = False) -> int:
         """Small-file compaction — the Iceberg ``rewrite_data_files``
         analogue.  Every merge appends one file set per touched bucket, so a
         long-running incremental table accumulates small files; this
         rewrites each bucket into one file set (one write task per bucket)
         via the same staging-swap commit as merge.  Returns file count
         after.  On 10^10-row tables run it per-bucket on a schedule, exactly
-        like Iceberg compaction jobs."""
-        df = self.read_internal().withColumn(BUCKET_COL, self._bucket_expr())
+        like Iceberg compaction jobs.
+
+        ``retain_tombstones`` (mor): DELETE winners survive as ONE folded
+        delta file set instead of vanishing with the delta dir.  Dropping a
+        tombstone mid-stream loses the LWW guard for that key — a later
+        micro-batch carrying a legitimately-late event (older ts) would
+        resurrect the deleted row (caught by test_mor's cadenced-compaction
+        oracle).  So in-stream cadenced compaction MUST retain; the default
+        drop-tombstones form is terminal maintenance, safe only when no
+        event older than a retained tombstone can still arrive (end of
+        stream, or tombstones past the lateness watermark).  Crash-safe by
+        construction: the folded tombstone files are MOVED into the delta
+        dir before the obsolete delta files are deleted, and duplicate
+        tombstones tie on (ts, _seq) — any crash point replays to the same
+        state."""
+        retain = retain_tombstones and self.mode == "mor"
+        old_delta_files: list[str] = []
+        if retain and os.path.exists(self._delta):
+            for root, _, files in os.walk(self._delta):
+                old_delta_files += [
+                    os.path.join(root, f) for f in files if f.endswith(".parquet")
+                ]
+        resolved = self.read_internal(keep_op=retain)
+        if retain:
+            tombs = resolved.where(F.col(OP_COL) == "DELETE")
+            df = (
+                resolved.where(F.col(OP_COL) != "DELETE")
+                .drop(OP_COL)
+                .withColumn(BUCKET_COL, self._bucket_expr())
+            )
+        else:
+            df = resolved.withColumn(BUCKET_COL, self._bucket_expr())
         staging = f"{self.path}/_staging-compact"
         shutil.rmtree(staging, ignore_errors=True)
         (
@@ -391,6 +427,19 @@ class ParquetLakeTable(LakeTable):
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
+        tstag = f"{self.path}/_staging-tombs"
+        if retain:
+            # tombstone staging is written BEFORE the base-bucket swap: its
+            # plan re-scans the OLD base + delta files, which must still
+            # exist (writing it after the swap reads replaced paths)
+            shutil.rmtree(tstag, ignore_errors=True)
+            (
+                tombs.withColumn(BUCKET_COL, self._bucket_expr())
+                .repartition(self.n_buckets, BUCKET_COL)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(tstag)
+            )
         present = {
             e for e in os.listdir(staging) if e.startswith(f"{BUCKET_COL}=")
         }
@@ -407,9 +456,30 @@ class ParquetLakeTable(LakeTable):
             if e in present:
                 os.rename(f"{staging}/{e}", dst)
         shutil.rmtree(staging, ignore_errors=True)
-        # deltas folded into the base — a crash BEFORE this line replays
-        # them over the new base, where they tie on (ts, _seq): idempotent
-        shutil.rmtree(self._delta, ignore_errors=True)
+        if retain:
+            # surviving tombstones -> ONE folded delta file set.  Order:
+            # MOVE the staged files into delta, only then delete the
+            # obsolete delta files — at any crash point old+new tombstones
+            # coexist and tie on (ts, _seq), so the read resolves identically
+            for e in os.listdir(tstag):
+                if not e.startswith(f"{BUCKET_COL}="):
+                    continue
+                os.makedirs(f"{self._delta}/{e}", exist_ok=True)
+                for f in os.listdir(f"{tstag}/{e}"):
+                    if f.endswith(".parquet"):
+                        shutil.move(
+                            f"{tstag}/{e}/{f}", f"{self._delta}/{e}/tomb-{f}"
+                        )
+            shutil.rmtree(tstag, ignore_errors=True)
+            for f in old_delta_files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        else:
+            # deltas folded into the base — a crash BEFORE this line replays
+            # them over the new base, where they tie on (ts, _seq): idempotent
+            shutil.rmtree(self._delta, ignore_errors=True)
         return sum(
             len([f for f in files if f.endswith(".parquet")])
             for _, _, files in os.walk(self._data)

@@ -73,6 +73,15 @@ class PipelineConfig:
     # path); compact() folds deltas into the base every K batches so state
     # reads stay O(live keys), not O(batches).  0 = never compact.
     delta_feed_compact_every: int = 16
+    # MAIN-table maintenance for sink_mode='mor': each merge appends one
+    # delta file set, so a long-running stream accumulates O(batches) files
+    # and read-side LWW resolution degrades; every K applied batches the
+    # sink compacts (staging-swap commit, logical content unchanged —
+    # replay-safe for the same reason the delta feed's state compaction
+    # is: it runs AFTER lineage advances, so a crash mid-compact skips the
+    # batch on replay and compaction retries at the next cadence).  0 =
+    # never (the r3 behavior); ignored for 'cow' (nothing to fold).
+    sink_compact_every: int = 0
     # pluggable streaming source (VERDICT r3 missing #2): None keeps the
     # native file tail driven by changelog_format; a format name routes the
     # stream through readStream.format(source_format).options(**source_options)
@@ -446,6 +455,17 @@ class CDCPipeline:
             ms.commit_id,
         )
         lineage.save(self.cfg.lineage_path)
+        every = self.cfg.sink_compact_every
+        if (
+            every
+            and getattr(self.lake, "mode", None) == "mor"
+            and (batch_id + 1) % every == 0
+        ):
+            # retain_tombstones: a later micro-batch can carry a
+            # legitimately-late event for a deleted key — dropping the
+            # tombstone mid-stream would resurrect it (terminal compaction
+            # may drop; in-stream must not)
+            self.lake.compact(retain_tombstones=True)
         bm = BatchMetrics(
             batch_id,
             n_events,

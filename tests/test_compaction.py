@@ -97,3 +97,41 @@ def test_max_records_per_file_caps_sink_files(spark, tmp_path):
                 counts.append(pq.ParquetFile(os.path.join(root, f)).metadata.num_rows)
     assert counts and max(counts) <= 200
     assert sum(counts) == p.lake.read().count()
+
+
+def test_retained_tombstone_blocks_late_resurrection(spark, tmp_path):
+    """The reason cadenced in-stream compaction must retain tombstones: a
+    key deleted at ts=T then compacted away would be resurrected by a
+    legitimately-late event (ts < T) in a later batch.  retain_tombstones
+    keeps the guard; the terminal form documents the hazard."""
+    from pyspark.sql import functions as F
+
+    from singer_tap_spark.lake import ParquetLakeTable
+
+    def mk(path, retain):
+        lake = ParquetLakeTable(spark, path, mode="mor")
+        rows = [
+            ("c1", 0, "user", "hello", None, "2026-01-01 00:00:01", 1, "UPSERT"),
+            ("c2", 0, "user", "other", None, "2026-01-01 00:00:01", 2, "UPSERT"),
+            ("c1", 0, "user", None, None, "2026-01-01 00:00:10", 3, "DELETE"),
+        ]
+        batch = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string, seq long, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        lake.merge(batch, 0)
+        lake.compact(retain_tombstones=retain)
+        late = spark.createDataFrame(
+            [("c1", 0, "user", "late stale write", None,
+              "2026-01-01 00:00:05", 4, "UPSERT")],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string, seq long, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        lake.merge(late, 1)
+        return {(r["conv_id"], r["turn_idx"]) for r in lake.read().collect()}
+
+    # retained: the ts=10 tombstone still outranks the late ts=5 upsert
+    assert mk(f"{tmp_path}/keep", True) == {("c2", 0)}
+    # dropped (terminal form): the documented resurrection hazard
+    assert mk(f"{tmp_path}/drop", False) == {("c2", 0), ("c1", 0)}

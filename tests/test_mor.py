@@ -135,3 +135,44 @@ def test_mor_streaming_matches_oracle(spark, tmp_path):
     got = p.lake.read().select(*COLS).toPandas()
     want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
     assert_frames_equal(got, want[COLS], KEYS)
+
+
+def test_mor_streaming_cadenced_sink_compaction(spark, tmp_path):
+    """sink_compact_every: a many-microbatch stream leaves a BOUNDED delta
+    backlog (deltas fold into the base every cadence) and the same final
+    table as an uncompacted twin run over the identical log."""
+    import glob
+
+    base = str(tmp_path)
+    df = generate_changelog(spark, 9000, update_frac=0.5, delete_frac=0.1)
+    write_changelog(df, f"{base}/log")
+
+    def run(tgt, ckpt, every):
+        cfg = PipelineConfig(
+            changelog_path=f"{base}/log", target_path=f"{base}/{tgt}",
+            lineage_path=f"{base}/{tgt}.lineage.json", sink_mode="mor",
+            checkpoint_dir=f"{base}/{ckpt}",
+            max_files_per_trigger=2,  # force several microbatches
+            sink_compact_every=every,
+        )
+        p = CDCPipeline(spark, cfg)
+        p.run_streaming(available_now=True)
+        return p
+
+    pc = run("tgt_c", "ck_c", 2)
+    pu = run("tgt_u", "ck_u", 0)
+    assert len(pc.metrics.batches) >= 4  # cadence exercised at least twice
+
+    def delta_files(tgt):
+        return len(glob.glob(f"{base}/{tgt}/delta/_bucket=*/*.parquet"))
+
+    # uncompacted twin accumulates O(batches) delta sets; the cadenced run
+    # holds at most the post-cadence remainder
+    assert delta_files("tgt_u") > 0
+    assert delta_files("tgt_c") < delta_files("tgt_u")
+
+    got = pc.lake.read().select(*COLS).toPandas()
+    want = pu.lake.read().select(*COLS).toPandas()
+    assert_frames_equal(got, want, KEYS)
+    oracle = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
+    assert_frames_equal(got, oracle[COLS], KEYS)
