@@ -237,6 +237,37 @@ def q_docs_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_media_image_dims(spark, sf_dir):
+    """Image-dimension metadata from binary container headers, oracle-
+    checked as a ROUND TRIP: each doc_id synthesizes a real PNG (even ids)
+    or GIF (odd ids) header with arithmetic dimensions via hex/unhex, the
+    header parser reads them back, and the oracle recomputes the arithmetic
+    — so the byte-level parse is verified without DuckDB touching binary.
+    Dims stay < 256 so the GIF little-endian u16 is one byte + 00."""
+    from singer_tap_spark.ops.multimodal import image_dims
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w = 100 + F.col("doc_id") % 97
+    h = 50 + F.col("doc_id") % 53
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"),
+        F.lit("080600000000000000"),
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),
+        F.lpad(F.hex(w), 2, "0"), F.lit("00"),
+        F.lpad(F.hex(h), 2, "0"), F.lit("00"),
+        F.lit("000000"),
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(gif_hex)
+    )
+    return image_dims(d.withColumn("content", payload)).select(
+        "doc_id", "img_format", "img_width", "img_height"
+    )
+
+
 def q_docs_boilerplate(spark, sf_dir):
     """CCNet-style boilerplate line removal: every doc gets a planted
     corpus-wide footer line (df = 100% >= the 5% threshold -> removed) and
@@ -818,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_gate": q_docs_quality_gate,
         "docs_normalize": q_docs_normalize,
         "docs_boilerplate": q_docs_boilerplate,
+        "media_image_dims": q_media_image_dims,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1089,6 +1121,16 @@ def oracle_sql() -> dict[str, str]:
         # top-30% gate: survivors at-or-above the 0.7 quantile; DuckDB
         # quantile_cont interpolates identically to Spark's exact
         # percentile (verified bit-equal at every shipped sf)
+        # round-trip identity: synthesized header dims parse back to the
+        # same arithmetic the oracle computes directly
+        "media_image_dims": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END
+                     AS img_format,
+                   CAST(100 + doc_id % 97 AS INT) AS img_width,
+                   CAST(50 + doc_id % 53 AS INT) AS img_height
+            FROM documents
+        """,
         # per-line corpus-frequency dedup on the decorated corpus: planted
         # footer removed everywhere, unique lines kept; threshold double-
         # forced (DECIMAL ceil would round differently on inexact products)

@@ -145,6 +145,7 @@ def main() -> None:
         "docs_redact",
         "docs_normalize",
         "docs_boilerplate",
+        "media_image_dims",
         "docs_repetition",
         "docs_contamination",
         "docs_verbatim_spans",

@@ -219,3 +219,68 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+def _parse_image_dims(b: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from the container header alone — PNG IHDR,
+    GIF logical-screen descriptor, BMP DIB header, JPEG SOF segment scan.
+    Pure stdlib struct parsing (public container specs), no codec library:
+    dimensions are metadata, decoding pixels is not required to read them.
+    Unknown/truncated payloads -> (None, None, None)."""
+    import struct
+
+    if not b:
+        return (None, None, None)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down DIB
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOF0/1/2
+        i = 2
+        while i + 9 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # no length field
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            i += 2 + seg_len
+        return (None, None, None)
+    return (None, None, None)
+
+
+def image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append ``(img_format, img_width, img_height)`` parsed from the binary
+    payload's container header — the metadata pass a media pipeline runs
+    BEFORE any decode (filter tiny thumbnails / absurd aspect ratios
+    without touching a pixel).  Arrow-vectorized pandas UDF (the per-row
+    byte-slicing is Python, but only header bytes are examined — cost is
+    per ROW, independent of payload size); narrow map-only plan, no
+    shuffle."""
+    # img_-prefixed so the op composes with MEDIA_SCHEMA's own
+    # width/height claim columns without collision
+    out_t = T.StructType(
+        [
+            T.StructField("img_format", T.StringType()),
+            T.StructField("img_width", T.IntegerType()),
+            T.StructField("img_height", T.IntegerType()),
+        ]
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(out_t)
+    def _dims(content: pd.Series) -> pd.DataFrame:
+        rows = [_parse_image_dims(b) for b in content]
+        return pd.DataFrame(rows, columns=["img_format", "img_width", "img_height"])
+
+    return df.withColumn("_d", _dims(F.col(content_col))).select(
+        "*", "_d.img_format", "_d.img_width", "_d.img_height"
+    ).drop("_d")
