@@ -237,6 +237,24 @@ def q_docs_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_docs_stats(spark, sf_dir):
+    """One-pass corpus audit: doc count, total/distinct-content counts,
+    token sum, quality extrema — the stats header of every curation run.
+    All columns are ORDER-INDEPENDENT exact aggregates (counts, integer
+    sum, min/max): no float summation, so partition order cannot flip a
+    bit vs the sequential DuckDB oracle.  Partial-agg everywhere — one
+    scan, one 1-row result."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(doc_fingerprint(t)).alias("n_distinct_contents"),
+        F.sum(token_count(t).cast("long")).alias("total_tokens"),
+        F.min(quality_score(t)).alias("min_quality"),
+        F.max(quality_score(t)).alias("max_quality"),
+    )
+
+
 def q_media_image_dims(spark, sf_dir):
     """Image-dimension metadata from binary container headers, oracle-
     checked as a ROUND TRIP: each doc_id synthesizes a real PNG (even ids)
@@ -850,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": q_docs_normalize,
         "docs_boilerplate": q_docs_boilerplate,
         "media_image_dims": q_media_image_dims,
+        "docs_stats": q_docs_stats,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1121,6 +1140,25 @@ def oracle_sql() -> dict[str, str]:
         # top-30% gate: survivors at-or-above the 0.7 quantile; DuckDB
         # quantile_cont interpolates identically to Spark's exact
         # percentile (verified bit-equal at every shipped sf)
+        # exact order-independent aggregates only (no float sums)
+        "docs_stats": (
+            "WITH scored AS (" + _QUALITY_SQL + f""")
+            , base AS (
+              SELECT d.doc_id, md5({_NORM_SQL}) AS fp,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS toks,
+                     s.quality
+              FROM documents d JOIN scored s USING (doc_id)
+            )
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT fp) AS n_distinct_contents,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens,
+                   min(quality) AS min_quality,
+                   max(quality) AS max_quality
+            FROM base
+        """
+        ),
         # round-trip identity: synthesized header dims parse back to the
         # same arithmetic the oracle computes directly
         "media_image_dims": """

@@ -146,6 +146,7 @@ def main() -> None:
         "docs_normalize",
         "docs_boilerplate",
         "media_image_dims",
+        "docs_stats",
         "docs_repetition",
         "docs_contamination",
         "docs_verbatim_spans",

@@ -787,6 +787,11 @@ class CDCPipeline:
             if batch_id <= _last_applied():
                 return  # crash after marker, before checkpoint: all done
             t0 = time.monotonic()
+            if "value" in batch_df.columns and "seq" not in batch_df.columns:
+                # deferred decode (quarantine path): rejects first, then
+                # the typed rows flow into the normal feed pipeline
+                batch_df, rejects = self._decode_jsonl_split(batch_df)
+                self._handle_rejects(rejects, batch_id)
             batch = self._normalize(self._project(batch_df))
             payload = [
                 c
@@ -858,7 +863,12 @@ class CDCPipeline:
             if every and (batch_id + 1) % every == 0:
                 state.compact()
 
-        src = self._stream_source(dedup=False)
+        # quarantine/fail parity with run_streaming: payload-style sources
+        # defer decode into the sink so rejects are observable
+        defer_decode = (
+            self.cfg.rejects_path is not None or self.cfg.decode_errors == "fail"
+        )
+        src = self._stream_source(dedup=False, decode=not defer_decode)
         writer = src.writeStream.foreachBatch(_sink).option(
             "checkpointLocation", self.cfg.checkpoint_dir
         )

@@ -119,3 +119,50 @@ def test_e2e_type_widen(spark, tmp_path):
     assert isinstance(final.schema["turn_idx"].dataType, T.LongType)
     assert final.where(F.col("turn_idx") >= 2**31).count() > 0
     assert final.where(F.col("turn_idx") < 2**31).count() > 0  # old rows intact
+
+
+def test_streaming_mid_stream_evolution_across_sessions(spark, tmp_path):
+    """The STREAMING form of the re-discover-then-restart evolution model
+    (sync.go:63-66 analogue): session 1 tails the pre-evolution log;
+    the log gains a `model` column; session 2 (same checkpoint) re-derives
+    the widened schema from the footers, processes ONLY the new files, and
+    the merged table null-fills old rows — equal to the batch oracle."""
+    base = str(tmp_path)
+    df = generate_changelog(spark, 8000, schema_evolution_at=4000, update_frac=0.4)
+    pre = df.where("schema_version = 1").drop("model")
+    post = df.where("schema_version = 2")
+    write_changelog(pre, f"{base}/log")
+    cfg = PipelineConfig(
+        changelog_path=f"{base}/log",
+        target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lineage.json",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    p = CDCPipeline(spark, cfg)
+    p.run_streaming(available_now=True)
+    assert "model" not in p.lake.read().columns
+    n_files_s1 = sum(len(b.schema_changes) >= 0 for b in p.metrics.batches)
+
+    post.repartition(2).write.mode("append").partitionBy("shard").parquet(
+        f"{base}/log"
+    )
+    p2 = CDCPipeline(spark, cfg)  # new session, same checkpoint
+    m2 = p2.run_streaming(available_now=True)
+    assert any(
+        "add column model" in c for b in m2.batches for c in b.schema_changes
+    )
+    final = p2.lake.read()
+    assert "model" in final.columns
+
+    want = duck(
+        f"""
+        WITH dedup AS (SELECT DISTINCT * FROM read_parquet(
+            '{base}/log/*/*.parquet', hive_partitioning=1, union_by_name=1)),
+        ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) rn FROM dedup)
+        SELECT conv_id, turn_idx, text, model FROM ranked WHERE rn=1 AND op <> 'DELETE'
+        """
+    )
+    got = final.select("conv_id", "turn_idx", "text", "model").toPandas()
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+    assert n_files_s1 >= 1  # both sessions actually processed batches

@@ -178,3 +178,16 @@ def test_quarantine_off_keeps_r3_skip_semantics(spark, tmp_path):
     CDCPipeline(spark, _cfg(base)).replay()
     assert spark.read.parquet(f"{base}/tgt").select(*KEYS).distinct().count() == 4
     assert not os.path.exists(f"{base}/rejects")
+
+
+def test_delta_feed_quarantine(spark, tmp_path):
+    """DLQ parity on the delta-feed head (impl='merge'): bad lines
+    quarantined per batch, good rows emitted as feed events."""
+    base = str(tmp_path)
+    _write_log(base)
+    cfg = _cfg(base, rejects_path=f"{base}/rejects")
+    p = CDCPipeline(spark, cfg)
+    p.run_delta_feed(f"{base}/feed", available_now=True, impl="merge")
+    assert _reasons(spark, f"{base}/rejects") == EXPECT_REASONS
+    feed = spark.read.parquet(f"{base}/feed")
+    assert feed.select("conv_id", "turn_idx").distinct().count() == 4
