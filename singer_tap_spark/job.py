@@ -67,6 +67,7 @@ def _sync(args) -> None:
         rejects_path=args.rejects_path,
         decode_errors=args.decode_errors,
         sink_compact_every=args.sink_compact_every,
+        sink_tombstone_lateness=args.sink_tombstone_lateness,
     )
     p = CDCPipeline(spark, cfg)
     if args.bootstrap_snapshot:
@@ -274,6 +275,13 @@ def main(argv: list[str] | None = None) -> None:
         help="mor sink maintenance: fold the target table's delta files "
              "into its base every K applied batches (0 = never; cow "
              "ignores)",
+    )
+    s.add_argument(
+        "--sink-tombstone-lateness", default=None, metavar="INTERVAL",
+        help="GC bound for retained delete tombstones at cadenced "
+             "compaction, e.g. '7 days': tombstones older than "
+             "max(state ts) - INTERVAL are dropped (event-time watermark "
+             "rule).  Default: retain forever",
     )
     s.add_argument(
         "--rejects-path", default=None, metavar="PATH",

@@ -379,7 +379,11 @@ class ParquetLakeTable(LakeTable):
 
 
     # -- maintenance ---------------------------------------------------------
-    def compact(self, retain_tombstones: bool = False) -> int:
+    def compact(
+        self,
+        retain_tombstones: bool = False,
+        tombstone_lateness: str | None = None,
+    ) -> int:
         """Small-file compaction — the Iceberg ``rewrite_data_files``
         analogue.  Every merge appends one file set per touched bucket, so a
         long-running incremental table accumulates small files; this
@@ -396,7 +400,18 @@ class ParquetLakeTable(LakeTable):
         oracle).  So in-stream cadenced compaction MUST retain; the default
         drop-tombstones form is terminal maintenance, safe only when no
         event older than a retained tombstone can still arrive (end of
-        stream, or tombstones past the lateness watermark).  Crash-safe by
+        stream, or tombstones past the lateness watermark).
+
+        ``tombstone_lateness`` (with ``retain_tombstones``): the principled
+        middle ground — a tombstone may be garbage-collected once no event
+        older than it can still arrive.  With a lateness bound L (e.g.
+        ``'7 days'``), tombstones with ``ts < max(ts over the resolved
+        state) - L`` are dropped at compaction; younger ones are retained.
+        Deterministic (horizon is a function of the state, not the clock)
+        and exactly the event-time-watermark GC rule Structured Streaming
+        applies to its own state stores.  None = retain forever.
+
+        Crash-safe by
         construction: the folded tombstone files are MOVED into the delta
         dir before the obsolete delta files are deleted, and duplicate
         tombstones tie on (ts, _seq) — any crash point replays to the same
@@ -411,6 +426,16 @@ class ParquetLakeTable(LakeTable):
         resolved = self.read_internal(keep_op=retain)
         if retain:
             tombs = resolved.where(F.col(OP_COL) == "DELETE")
+            if tombstone_lateness is not None:
+                horizon = resolved.agg(F.max("ts").alias("_mx"))
+                tombs = (
+                    tombs.crossJoin(F.broadcast(horizon))
+                    .where(
+                        F.col("ts")
+                        >= F.col("_mx") - F.expr(f"INTERVAL {tombstone_lateness}")
+                    )
+                    .drop("_mx")
+                )
             df = (
                 resolved.where(F.col(OP_COL) != "DELETE")
                 .drop(OP_COL)

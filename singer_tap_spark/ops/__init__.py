@@ -41,3 +41,13 @@ from singer_tap_spark.ops.sample import (  # noqa: F401
     sample_key,
     stratified_sample,
 )
+from singer_tap_spark.ops.chunk import chunk_documents  # noqa: F401
+from singer_tap_spark.ops.cluster import cluster_survivors  # noqa: F401
+from singer_tap_spark.ops.curate import (  # noqa: F401
+    curate,
+    quantile_gate,
+    remove_boilerplate_lines,
+)
+from singer_tap_spark.ops.multimodal import image_dims  # noqa: F401
+from singer_tap_spark.ops.sample import mixture_sample  # noqa: F401
+from singer_tap_spark.ops.text import normalize_text, redact_pii  # noqa: F401

@@ -82,6 +82,11 @@ class PipelineConfig:
     # batch on replay and compaction retries at the next cadence).  0 =
     # never (the r3 behavior); ignored for 'cow' (nothing to fold).
     sink_compact_every: int = 0
+    # tombstone GC bound for cadenced compaction: a DELETE tombstone may be
+    # dropped once no event older than it can still arrive — with lateness
+    # L, tombstones with ts < max(state ts) - L are GC'd at compaction
+    # (event-time watermark rule, deterministic).  None = retain forever.
+    sink_tombstone_lateness: str | None = None
     # pluggable streaming source (VERDICT r3 missing #2): None keeps the
     # native file tail driven by changelog_format; a format name routes the
     # stream through readStream.format(source_format).options(**source_options)
@@ -465,7 +470,10 @@ class CDCPipeline:
             # legitimately-late event for a deleted key — dropping the
             # tombstone mid-stream would resurrect it (terminal compaction
             # may drop; in-stream must not)
-            self.lake.compact(retain_tombstones=True)
+            self.lake.compact(
+                retain_tombstones=True,
+                tombstone_lateness=self.cfg.sink_tombstone_lateness,
+            )
         bm = BatchMetrics(
             batch_id,
             n_events,

@@ -135,3 +135,38 @@ def test_retained_tombstone_blocks_late_resurrection(spark, tmp_path):
     assert mk(f"{tmp_path}/keep", True) == {("c2", 0)}
     # dropped (terminal form): the documented resurrection hazard
     assert mk(f"{tmp_path}/drop", False) == {("c2", 0), ("c1", 0)}
+
+
+def test_tombstone_lateness_gc(spark, tmp_path):
+    """Event-time watermark GC for retained tombstones: with lateness L,
+    tombstones older than max(state ts) - L drop at compaction; younger
+    ones keep blocking late resurrection."""
+    from pyspark.sql import functions as F
+
+    from singer_tap_spark.lake import ParquetLakeTable
+
+    lake = ParquetLakeTable(spark, str(tmp_path / "t"), mode="mor")
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string, seq long, op string")
+    batch = spark.createDataFrame(
+        [
+            ("old", 0, "u", None, None, "2026-01-01 00:00:00", 1, "DELETE"),
+            ("new", 0, "u", None, None, "2026-01-09 00:00:00", 2, "DELETE"),
+            ("live", 0, "u", "keep me", None, "2026-01-10 00:00:00", 3, "UPSERT"),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lake.merge(batch, 0)
+    # horizon = 2026-01-10 - 7d = 2026-01-03: 'old' GC'd, 'new' retained
+    lake.compact(retain_tombstones=True, tombstone_lateness="7 days")
+    kept = lake.read_internal(keep_op=True).where("_op = 'DELETE'")
+    assert {r["conv_id"] for r in kept.collect()} == {"new"}
+
+    # the retained tombstone still blocks a late event; the GC'd one no
+    # longer does (by design: events older than the horizon must not occur)
+    late = spark.createDataFrame(
+        [("new", 0, "u", "late", None, "2026-01-08 00:00:00", 4, "UPSERT")],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lake.merge(late, 1)
+    assert {(r["conv_id"]) for r in lake.read().select("conv_id").collect()} == {"live"}
