@@ -237,6 +237,36 @@ def q_docs_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_docs_preprocess(spark, sf_dir):
+    """The COMPOSED preprocessing chain, end-to-end oracle-exact:
+    boilerplate line removal (planted corpus-wide footer dropped) ->
+    normalize_text (dirty unicode suffix folded, whitespace collapsed) ->
+    corpus-relative quality gate (keep the top half) -> token-window
+    chunking (64/48).  One declarative plan: line-freq shuffle + threshold
+    broadcast + reassembly + percentile broadcast + map-only chunking —
+    what an actual corpus-preprocessing job runs as a single lineage."""
+    from singer_tap_spark.ops.chunk import chunk_documents
+    from singer_tap_spark.ops.curate import quantile_gate, remove_boilerplate_lines
+    from singer_tap_spark.ops.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(" – “q” …")),
+            F.lit("Subscribe to our newsletter"),
+        ).alias("text"),
+    )
+    nb = remove_boilerplate_lines(decorated, min_doc_frac=0.05, min_docs=2)
+    clean = nb.select("doc_id", normalize_text(F.col("clean_text")).alias("text"))
+    scored = clean.select(
+        "doc_id", "text", quality_score(F.col("text")).alias("quality")
+    )
+    gated = quantile_gate(scored, keep_frac=0.5)
+    return chunk_documents(gated, max_tokens=64, stride=48)
+
+
 def q_docs_stats(spark, sf_dir):
     """One-pass corpus audit: doc count, total/distinct-content counts,
     token sum, quality extrema — the stats header of every curation run.
@@ -869,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate": q_docs_boilerplate,
         "media_image_dims": q_media_image_dims,
         "docs_stats": q_docs_stats,
+        "docs_preprocess": q_docs_preprocess,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -904,6 +935,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _quality_sql_over(src: str) -> str:
+    """The quality-score formula over any relation exposing (doc_id, text)
+    — _QUALITY_SQL is its ``documents`` instantiation."""
+    return _QUALITY_SQL.replace("FROM documents", f"FROM {src}")
 
 
 def _cleanup_sql(col: str) -> str:
@@ -1140,6 +1177,69 @@ def oracle_sql() -> dict[str, str]:
         # top-30% gate: survivors at-or-above the 0.7 quantile; DuckDB
         # quantile_cont interpolates identically to Spark's exact
         # percentile (verified bit-equal at every shipped sf)
+        # the full preprocessing chain as chained CTEs: boilerplate ->
+        # normalize -> quality gate (quantile_cont == Spark percentile,
+        # bit-equal) -> chunk.  Reuses each stage's proven oracle pieces.
+        "docs_preprocess": (
+            """
+            WITH docs2 AS (
+              SELECT doc_id,
+                     text || ' – “q” …' || chr(10)
+                          || 'Subscribe to our newsletter' AS t
+              FROM documents
+            ), nd AS (SELECT count(*) AS n FROM docs2),
+            sp AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM docs2),
+            lnx AS (SELECT doc_id, unnest(range(len(l))) AS idx, l FROM sp),
+            lw AS (SELECT doc_id, idx, l[idx+1] AS line, trim(l[idx+1]) AS k
+                   FROM lnx),
+            freq AS (
+              SELECT k, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, k FROM lw WHERE k <> '')
+              GROUP BY k
+            ), boiler AS (
+              SELECT k FROM freq, nd
+              WHERE df >= greatest(2, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT))
+            ), kept AS (
+              SELECT doc_id, idx, line FROM lw
+              WHERE k = '' OR k NOT IN (SELECT k FROM boiler)
+            ), rebuilt AS (
+              SELECT d.doc_id, coalesce(rb.ct, '') AS clean_text
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct
+                FROM kept GROUP BY doc_id
+              ) rb USING (doc_id)
+            ), normalized AS (
+              SELECT doc_id, """
+            + _cleanup_sql("clean_text")
+            + """ AS text FROM rebuilt
+            ), scored AS ("""
+            + _quality_sql_over("normalized")
+            + """), gated AS (
+              SELECT n2.doc_id, n2.text
+              FROM normalized n2 JOIN scored s USING (doc_id)
+              WHERE s.quality >= (SELECT quantile_cont(quality, 0.5) FROM scored)
+            ), base AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(coalesce(text,''))) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+')
+                     END AS w
+              FROM gated
+            ), sized AS (
+              SELECT doc_id, w,
+                CASE WHEN len(w) <= 64 THEN 1
+                     ELSE CAST(floor((len(w) - 64 + 47) / 48) AS BIGINT) + 1
+                END AS nc
+              FROM base
+            ), expanded AS (
+              SELECT doc_id, w, unnest(range(nc)) AS i FROM sized
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   CAST(len(w[i*48+1 : i*48+64]) AS INT) AS chunk_tokens,
+                   coalesce(array_to_string(w[i*48+1 : i*48+64], ' '), '')
+                     AS chunk_text
+            FROM expanded
+        """
+        ),
         # exact order-independent aggregates only (no float sums)
         "docs_stats": (
             "WITH scored AS (" + _QUALITY_SQL + f""")
@@ -1217,8 +1317,6 @@ def oracle_sql() -> dict[str, str]:
             + _cleanup_sql(_DIRTY_SQL)
             + ") AS BIGINT) AS n_chars FROM documents"
         ),
-        # NOTE: concatenation, not an f-string — _QUALITY_SQL contains a
-        # literal '{' inside a regex character class
         "docs_quality_gate": (
             "WITH scored AS (" + _QUALITY_SQL + """)
             SELECT doc_id, quality FROM scored
@@ -1265,8 +1363,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
         """,
-        # same component closure, survivor = best quality (ties -> min id);
-        # concatenation because _QUALITY_SQL holds a literal '{' in a regex
+        # same component closure, survivor = best quality (ties -> min id)
         "docs_cluster_best": """
             WITH RECURSIVE base AS (
               SELECT doc_id AS id,

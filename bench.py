@@ -147,6 +147,7 @@ def main() -> None:
         "docs_boilerplate",
         "media_image_dims",
         "docs_stats",
+        "docs_preprocess",
         "docs_repetition",
         "docs_contamination",
         "docs_verbatim_spans",
