@@ -237,6 +237,18 @@ def q_docs_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_docs_eval_sample(spark, sf_dir):
+    """Exactly-10-per-language eval-set construction: rank by the md5
+    sample key inside each language stratum, keep the 10 smallest —
+    deterministic at any parallelism, nested under k growth, tie-free
+    (key ties fall to the unique doc_id)."""
+    from singer_tap_spark.ops.sample import exact_k_sample
+
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return exact_k_sample(tagged, k=10, strata_col="lang_pred")
+
+
 def q_docs_preprocess(spark, sf_dir):
     """The COMPOSED preprocessing chain, end-to-end oracle-exact:
     boilerplate line removal (planted corpus-wide footer dropped) ->
@@ -263,6 +275,12 @@ def q_docs_preprocess(spark, sf_dir):
     scored = clean.select(
         "doc_id", "text", quality_score(F.col("text")).alias("quality")
     )
+    # materialize the cleaned+scored corpus once: quantile_gate consumes it
+    # TWICE (threshold agg + gated corpus), and without a cut the whole
+    # boilerplate/normalize chain re-executes per branch (measured 9.2s ->
+    # the stage-checkpoint is what a 100-TB pipeline does between major
+    # stages anyway, as a parquet write)
+    scored = scored.localCheckpoint(eager=False)
     gated = quantile_gate(scored, keep_frac=0.5)
     return chunk_documents(gated, max_tokens=64, stride=48)
 
@@ -900,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_dims": q_media_image_dims,
         "docs_stats": q_docs_stats,
         "docs_preprocess": q_docs_preprocess,
+        "docs_eval_sample": q_docs_eval_sample,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1177,6 +1196,22 @@ def oracle_sql() -> dict[str, str]:
         # top-30% gate: survivors at-or-above the 0.7 quantile; DuckDB
         # quantile_cont interpolates identically to Spark's exact
         # percentile (verified bit-equal at every shipped sf)
+        # exactly-k per stratum: row_number over (md5 key, id) per language
+        "docs_eval_sample": f"""
+            WITH lang AS ({_LANG_SQL}),
+            keyed AS (
+              SELECT doc_id, lang_pred,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                     AS BIGINT) AS k
+              FROM lang
+            )
+            SELECT doc_id, lang_pred FROM (
+              SELECT doc_id, lang_pred,
+                     row_number() OVER (
+                       PARTITION BY lang_pred ORDER BY k, doc_id) AS rn
+              FROM keyed
+            ) WHERE rn <= 10
+        """,
         # the full preprocessing chain as chained CTEs: boilerplate ->
         # normalize -> quality gate (quantile_cont == Spark percentile,
         # bit-equal) -> chunk.  Reuses each stage's proven oracle pieces.

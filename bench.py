@@ -148,6 +148,7 @@ def main() -> None:
         "media_image_dims",
         "docs_stats",
         "docs_preprocess",
+        "docs_eval_sample",
         "docs_repetition",
         "docs_contamination",
         "docs_verbatim_spans",

@@ -178,3 +178,37 @@ def assign_splits(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``k`` rows (per stratum): rank rows by the md5 sample key and
+    keep the k smallest — the eval-set constructor ("exactly 1000 docs per
+    language").  Same determinism/nesting contract as the fraction
+    samplers: membership is a pure function of (id, seed), independent of
+    partitioning and engine, and the k+1 sample is a superset of the k
+    sample.  Ties cannot occur (key ties fall back to the unique id).
+
+    Scale shape: with ``strata_col``, one shuffle on the stratum and a
+    bounded per-stratum window.  WITHOUT strata the global form compiles
+    to TakeOrderedAndProject (per-partition partial top-k, then one
+    k-sized merge — never a full sort); keep global k modest (it
+    materializes k rows on one task)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    key = sample_key(id_col, seed)
+    if strata_col is None:
+        return df.orderBy(key.asc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -149,3 +149,42 @@ def test_mixture_sample_properties(spark):
         mixture_sample(d, {"src0": -0.1}, budget_tokens=100)
     # no targeted source present -> empty
     assert mixture_sample(d, {"nope": 1.0}, budget_tokens=100).count() == 0
+
+
+def test_exact_k_sample_properties(spark):
+    """Exactly k per stratum; deterministic across partitioning; nested
+    under k growth; global form returns exactly k."""
+    from singer_tap_spark.ops.sample import exact_k_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = exact_k_sample(df, 7, strata_col="lang")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 7, "de": 7, "fr": 7}
+
+    # partitioning-independent
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         exact_k_sample(df.repartition(13), 7, strata_col="lang").collect()}
+    assert a == b
+
+    # nested: k=7 subset of k=9
+    c = {r["doc_id"] for r in
+         exact_k_sample(df, 9, strata_col="lang").collect()}
+    assert a <= c
+
+    # k larger than a stratum: the whole stratum, no error
+    small = df.where("doc_id < 5")
+    assert exact_k_sample(small, 100, strata_col="lang").count() == 5
+
+    # global form: exactly k, deterministic
+    g1 = [r["doc_id"] for r in exact_k_sample(df, 11).collect()]
+    g2 = [r["doc_id"] for r in exact_k_sample(df.repartition(17), 11).collect()]
+    assert len(g1) == 11 and sorted(g1) == sorted(g2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        exact_k_sample(df, -1)
