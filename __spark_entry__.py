@@ -237,6 +237,14 @@ def q_docs_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_docs_vocab(spark, sf_dir):
+    """Top-100 corpus vocabulary by frequency (ties -> word asc): explode ->
+    one partial-agg shuffle -> TakeOrderedAndProject."""
+    from singer_tap_spark.ops.text import vocab_top_k
+
+    return vocab_top_k(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_docs_eval_sample(spark, sf_dir):
     """Exactly-10-per-language eval-set construction: rank by the md5
     sample key inside each language stratum, keep the 10 smallest —
@@ -919,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stats": q_docs_stats,
         "docs_preprocess": q_docs_preprocess,
         "docs_eval_sample": q_docs_eval_sample,
+        "docs_vocab": q_docs_vocab,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1196,6 +1205,15 @@ def oracle_sql() -> dict[str, str]:
         # top-30% gate: survivors at-or-above the 0.7 quantile; DuckDB
         # quantile_cont interpolates identically to Spark's exact
         # percentile (verified bit-equal at every shipped sf)
+        "docs_vocab": f"""
+            WITH w AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+              FROM documents
+            ), c AS (
+              SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word
+            )
+            SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT 100
+        """,
         # exactly-k per stratum: row_number over (md5 key, id) per language
         "docs_eval_sample": f"""
             WITH lang AS ({_LANG_SQL}),

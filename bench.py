@@ -149,6 +149,7 @@ def main() -> None:
         "docs_stats",
         "docs_preprocess",
         "docs_eval_sample",
+        "docs_vocab",
         "docs_repetition",
         "docs_contamination",
         "docs_verbatim_spans",

@@ -225,3 +225,19 @@ def repetition_ratio(text: Column, n: int = 3, impl: str = "arrow") -> Column:
         .otherwise(F.lit(0.0)),
         4,
     )
+
+
+def vocab_top_k(docs, k: int = 100, text_col: str = "text"):
+    """Corpus vocabulary: the k most frequent normalized words (count desc,
+    word asc — boundary ties deterministic).  The counting prep every
+    tokenizer-training / frequency-filter pass starts from.  Plan: explode
+    (map-only) -> one partial-agg count shuffle -> TakeOrderedAndProject
+    (per-partition top-k, never a full sort); word space, not doc space,
+    bounds the agg state."""
+    from pyspark.sql import functions as F
+
+    words = docs.select(
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("word")
+    ).where(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(k)
