@@ -244,6 +244,9 @@ def _parse_image_dims(b: bytes | None) -> tuple[str | None, int | None, int | No
         i = 2
         while i + 9 <= len(b) and b[i] == 0xFF:
             marker = b[i + 1]
+            if marker == 0xFF:  # fill byte (spec-legal padding): resync
+                i += 1
+                continue
             if marker in (0xC0, 0xC1, 0xC2):
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return ("jpeg", w, h)

@@ -260,6 +260,13 @@ def test_image_dims_header_parsers(spark):
     assert out[2] == ("gif", 320, 200)
     assert out[3] == ("bmp", 256, 128)  # negative height = top-down, abs
     assert out[4] == ("jpeg", 1920, 1080)
+    # fill bytes (consecutive 0xFF) before a marker are spec-legal padding
+    import struct as _s
+    padded = (b"\xff\xd8\xff\xff\xff"
+              + b"\xc0" + _s.pack(">H", 17) + b"\x08"
+              + _s.pack(">HH", 10, 20) + b"\x03" + b"\x00" * 9)
+    from singer_tap_spark.ops.multimodal import _parse_image_dims
+    assert _parse_image_dims(padded) == ("jpeg", 20, 10)
     for i in (5, 6, 7):
         assert out[i] == (None, None, None)
 

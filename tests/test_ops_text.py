@@ -104,3 +104,18 @@ def test_normalize_text_keeps_newlines_when_asked(spark):
         normalize_text(F.col("text"), collapse_whitespace=False).alias("c")
     ).first()["c"]
     assert out == "para one\n\npara two here"  # NBSP folded, newlines kept
+
+
+def test_vocab_and_exact_k_plans_are_topk(spark):
+    """Both top-k ops compile to TakeOrderedAndProject — partial top-k per
+    partition, never a full global sort."""
+    from singer_tap_spark.ops.sample import exact_k_sample
+    from singer_tap_spark.ops.text import vocab_top_k
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(50)], "doc_id long, text string"
+    )
+    p1 = vocab_top_k(docs, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p1 and "Sort [" not in p1
+    p2 = exact_k_sample(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p2 and "Sort [" not in p2

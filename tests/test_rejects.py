@@ -191,3 +191,34 @@ def test_delta_feed_quarantine(spark, tmp_path):
     assert _reasons(spark, f"{base}/rejects") == EXPECT_REASONS
     feed = spark.read.parquet(f"{base}/feed")
     assert feed.select("conv_id", "turn_idx").distinct().count() == 4
+
+
+def test_quarantine_with_self_describing_wire(spark, tmp_path):
+    """DLQ composes with jsonl_schema='from_schema_messages': the record
+    schema folds from the log's own SCHEMA lines, and the quarantine logic
+    still classifies against it."""
+    base = str(tmp_path)
+    schema_line = json.dumps({
+        "type": "SCHEMA", "stream": "transcripts",
+        "schema": {"properties": {
+            "shard": {"type": ["null", "string"]},
+            "offset": {"type": ["null", "integer"]},
+            "seq": {"type": ["null", "integer"]},
+            "op": {"type": ["null", "string"]},
+            "ts": {"type": ["null", "string"], "format": "date-time"},
+            "conv_id": {"type": ["null", "string"]},
+            "turn_idx": {"type": ["null", "integer"]},
+            "role": {"type": ["null", "string"]},
+            "text": {"type": ["null", "string"]},
+            "tool": {"type": ["null", "string"]},
+            "schema_version": {"type": ["null", "integer"]},
+        }},
+    })
+    os.makedirs(f"{base}/log")
+    with open(f"{base}/log/part-0.jsonl", "w") as f:
+        f.write("\n".join([schema_line] + GOOD + BAD) + "\n")
+    cfg = _cfg(base, rejects_path=f"{base}/rejects",
+               jsonl_schema="from_schema_messages")
+    CDCPipeline(spark, cfg).replay()
+    assert _reasons(spark, f"{base}/rejects") == EXPECT_REASONS
+    assert spark.read.parquet(f"{base}/tgt").select(*KEYS).distinct().count() == 4
