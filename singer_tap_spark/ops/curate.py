@@ -148,10 +148,25 @@ def curate(
     near_dup_hamming: int | None = None,
     cluster_resolve: bool = False,
     survivor: str = "min_id",
+    normalize: bool = False,
+    boilerplate_min_doc_frac: float | None = None,
+    top_quality_frac: float | None = None,
 ) -> DataFrame:
-    """Curated corpus: annotated, filtered, exact-deduped (and optionally
-    near-deduped).  Output keeps the original columns plus
-    (n_tokens, quality, lang_pred, fingerprint).
+    """Curated corpus: (optionally cleaned), annotated, filtered,
+    exact-deduped (and optionally near-deduped).  Output keeps the
+    original columns plus (n_tokens, quality, lang_pred, fingerprint).
+
+    Cleanup pre-passes (run BEFORE annotation, in this order, each
+    rewriting ``text_col``):
+    - ``boilerplate_min_doc_frac``: per-line corpus-frequency dedup
+      (:func:`remove_boilerplate_lines`) — drop nav/footer lines shared by
+      at least that fraction of docs;
+    - ``normalize=True``: :func:`singer_tap_spark.ops.text.normalize_text`
+      (control strip, unicode folds, whitespace collapse).
+    Post-gate: ``top_quality_frac`` keeps only that top fraction by the
+    quality score (:func:`quantile_gate`) AFTER the absolute
+    ``min_quality``/``min_tokens``/``languages`` gates — corpus-relative
+    on top of absolute.
 
     Near-dup removal: ``near_dup_jaccard`` routes through MinHash-LSH +
     candidates-only exact-Jaccard verify; ``near_dup_hamming`` routes
@@ -176,6 +191,20 @@ def curate(
       not the accidentally-lowest id."""
     if survivor not in ("min_id", "quality"):
         raise ValueError(f"survivor must be 'min_id' or 'quality', got {survivor!r}")
+    if boilerplate_min_doc_frac is not None:
+        cleaned = remove_boilerplate_lines(
+            docs, text_col=text_col, id_col=id_col,
+            min_doc_frac=boilerplate_min_doc_frac,
+        )
+        docs = (
+            docs.drop(text_col)
+            .join(cleaned.select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+    if normalize:
+        from singer_tap_spark.ops.text import normalize_text
+
+        docs = docs.withColumn(text_col, normalize_text(F.col(text_col)))
     t = F.col(text_col)
     annotated = docs.select(
         "*",
@@ -189,6 +218,11 @@ def curate(
     )
     if languages:
         gated = gated.where(F.col("lang_pred").isin(list(languages)))
+    if top_quality_frac is not None:
+        # corpus-relative gate on top of the absolute ones; NOTE the
+        # threshold branch re-executes the annotate chain — callers doing
+        # this at scale should stage-checkpoint first (see docs_preprocess)
+        gated = quantile_gate(gated, score_col="quality", keep_frac=top_quality_frac)
 
     # exact dedup: keep the min-id doc per fingerprint (one shuffle)
     keep = gated.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))

@@ -251,3 +251,37 @@ def test_remove_boilerplate_lines(spark):
     out2 = {r["doc_id"]: r["n_removed"] for r in remove_boilerplate_lines(
         docs2, min_doc_frac=0.9, min_docs=3).collect()}
     assert out2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_curate_cleanup_and_relative_gate(spark):
+    """curate's first-class cleanup pre-passes + corpus-relative gate:
+    boilerplate lines removed before annotation, unicode normalized, and
+    top_quality_frac keeps the best half of the absolute survivors."""
+    from singer_tap_spark.ops.curate import curate
+
+    footer = "Subscribe to our newsletter today please"
+    body = ("the quick brown fox jumps over the lazy dog and it runs far "
+            "into the green forest tonight with a friend of the family")
+    docs = spark.createDataFrame(
+        [(i, f"{body} variant{i} –“x”\n{footer}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = curate(
+        docs, min_quality=0.0, min_tokens=1,
+        normalize=True, boilerplate_min_doc_frac=0.5,
+    )
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert footer not in r["text"]            # boilerplate gone
+        assert "–" not in r["text"] and "“" not in r["text"]  # normalized
+        assert "\n" not in r["text"]              # whitespace collapsed
+
+    # relative gate: keep top half by quality (after absolute gates)
+    varied = spark.createDataFrame(
+        [(i, (body + f" unique{i}") * (1 + i % 4)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    kept = curate(varied, min_quality=0.0, min_tokens=1,
+                  top_quality_frac=0.5).count()
+    assert 10 <= kept < 20  # >= half (quality ties inflate), gate applied
