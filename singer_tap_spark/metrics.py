@@ -19,6 +19,10 @@ class BatchMetrics:
     affected_buckets: int
     seconds: float
     schema_changes: list[str] = field(default_factory=list)
+    # quarantined undecodable lines this batch (-1 = quarantine not enabled
+    # or not a decode path); counted from the written rejects partition's
+    # parquet footers — driver metadata read, no extra job
+    n_rejects: int = -1
 
     @property
     def events_per_sec(self) -> float:
@@ -60,6 +64,7 @@ class RunMetrics:
                         "affected_buckets": b.affected_buckets,
                         "seconds": round(b.seconds, 3),
                         "schema_changes": b.schema_changes,
+                        "n_rejects": b.n_rejects,
                     }
                     for b in self.batches
                 ],

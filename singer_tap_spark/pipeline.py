@@ -323,6 +323,13 @@ class CDCPipeline:
             if batch_id is not None:
                 path = f"{path}/batch={batch_id}"
             rejects.write.mode("overwrite").parquet(path)
+            # per-batch observability (reference logs per-batch counts,
+            # http_record_writer.go:121-133): footer metadata read, no job
+            import pyarrow.dataset as pds
+
+            self._last_rejects = pds.dataset(
+                path, format="parquet", ignore_prefixes=[".", "_"]
+            ).count_rows()
         if self.cfg.decode_errors == "fail":
             bad = rejects.select("value", "reason").limit(1).collect()
             if bad:
@@ -481,7 +488,9 @@ class CDCPipeline:
             ms.affected_buckets,
             time.monotonic() - t0,
             ms.schema_changes,
+            n_rejects=getattr(self, "_last_rejects", -1),
         )
+        self._last_rejects = -1  # consumed (replay: first batch records it)
         self.metrics.add(bm)
         return bm
 
@@ -858,11 +867,13 @@ class CDCPipeline:
                 BatchMetrics(
                     batch_id=batch_id,
                     events=emitted,
+                    n_rejects=getattr(self, "_last_rejects", -1),
                     rows_after=-1,
                     affected_buckets=-1,
                     seconds=time.monotonic() - t0,
                 )
             )
+            self._last_rejects = -1  # consumed
             # cadenced fold of mor deltas into the base (itself crash-safe:
             # deltas replayed over the new base tie on (ts, _seq)); runs
             # after the marker so a crash mid-compact skips straight past

@@ -222,3 +222,28 @@ def test_quarantine_with_self_describing_wire(spark, tmp_path):
     CDCPipeline(spark, cfg).replay()
     assert _reasons(spark, f"{base}/rejects") == EXPECT_REASONS
     assert spark.read.parquet(f"{base}/tgt").select(*KEYS).distinct().count() == 4
+
+
+def test_reject_counts_in_metrics(spark, tmp_path):
+    """Per-batch observability: n_rejects lands in BatchMetrics (footer
+    metadata read, no extra job) on batch, streaming, and feed paths."""
+    base = str(tmp_path)
+    _write_log(base)
+    m = CDCPipeline(spark, _cfg(base, rejects_path=f"{base}/rejects")).replay()
+    assert m.batches[0].n_rejects == 3
+    assert '"n_rejects": 3' in m.to_json()
+
+    cfg_s = _cfg(base, rejects_path=f"{base}/rej_s")
+    cfg_s.target_path = f"{base}/tgt_s"
+    cfg_s.lineage_path = f"{base}/lin_s.json"
+    cfg_s.checkpoint_dir = f"{base}/ck_s"
+    m2 = CDCPipeline(spark, cfg_s).run_streaming(available_now=True)
+    assert sum(b.n_rejects for b in m2.batches if b.n_rejects >= 0) == 3
+
+    # off: stays -1 (not tracked)
+    cfg_u = _cfg(base)
+    cfg_u.target_path = f"{base}/tgt_u"
+    cfg_u.lineage_path = f"{base}/lin_u.json"
+    cfg_u.checkpoint_dir = f"{base}/ck_u"
+    m3 = CDCPipeline(spark, cfg_u).run_streaming(available_now=True)
+    assert all(b.n_rejects == -1 for b in m3.batches)
