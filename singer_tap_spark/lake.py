@@ -379,6 +379,24 @@ class ParquetLakeTable(LakeTable):
 
 
     # -- maintenance ---------------------------------------------------------
+    def _max_ts_from_footers(self):
+        """Max ``ts`` across base+delta from parquet row-group statistics —
+        a driver-side footer pass, no Spark job (same technique as the
+        pipeline's retained-offset scan)."""
+        import pyarrow.dataset as pds
+
+        mx = None
+        for root in (self._data, self._delta):
+            if not os.path.exists(root):
+                continue
+            d = pds.dataset(root, format="parquet", ignore_prefixes=[".", "_SUCCESS"])
+            for frag in d.get_fragments():
+                for rg in frag.row_groups:
+                    st = (rg.statistics or {}).get("ts")
+                    if st and st.get("max") is not None:
+                        mx = st["max"] if mx is None else max(mx, st["max"])
+        return mx
+
     def compact(
         self,
         retain_tombstones: bool = False,
@@ -427,15 +445,17 @@ class ParquetLakeTable(LakeTable):
         if retain:
             tombs = resolved.where(F.col(OP_COL) == "DELETE")
             if tombstone_lateness is not None:
-                horizon = resolved.agg(F.max("ts").alias("_mx"))
-                tombs = (
-                    tombs.crossJoin(F.broadcast(horizon))
-                    .where(
+                # horizon from parquet FOOTER stats (driver metadata read,
+                # no job): max ts over raw base+delta events == max over
+                # LWW winners — the max-ts event is never beaten on ts.
+                # An agg over `resolved` would re-execute the whole
+                # resolve shuffle just for one scalar.
+                horizon = self._max_ts_from_footers()
+                if horizon is not None:
+                    tombs = tombs.where(
                         F.col("ts")
-                        >= F.col("_mx") - F.expr(f"INTERVAL {tombstone_lateness}")
+                        >= F.lit(horizon) - F.expr(f"INTERVAL {tombstone_lateness}")
                     )
-                    .drop("_mx")
-                )
             df = (
                 resolved.where(F.col(OP_COL) != "DELETE")
                 .drop(OP_COL)

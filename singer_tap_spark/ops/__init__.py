@@ -49,5 +49,9 @@ from singer_tap_spark.ops.curate import (  # noqa: F401
     remove_boilerplate_lines,
 )
 from singer_tap_spark.ops.multimodal import image_dims  # noqa: F401
-from singer_tap_spark.ops.sample import mixture_sample  # noqa: F401
-from singer_tap_spark.ops.text import normalize_text, redact_pii  # noqa: F401
+from singer_tap_spark.ops.sample import exact_k_sample, mixture_sample  # noqa: F401
+from singer_tap_spark.ops.text import (  # noqa: F401
+    normalize_text,
+    redact_pii,
+    vocab_top_k,
+)

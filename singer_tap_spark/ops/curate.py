@@ -77,12 +77,12 @@ def remove_boilerplate_lines(
     marked = lines.join(boiler, "k", "left")
     kept = marked.where(F.col("_boiler").isNull() | (F.col("k") == ""))
     removed = marked.where(F.col("_boiler").isNotNull() & (F.col("k") != ""))
+    # struct-field extraction (GetArrayStructFields, whole-stage codegen)
+    # instead of a transform() HOF lambda — interpreted per line, the
+    # ~us/element cost class the repo bans from per-row loops
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "ln"))),
-                lambda s: s["ln"],
-            ),
+            F.array_sort(F.collect_list(F.struct("idx", "ln"))).getField("ln"),
             "\n",
         ).alias("clean_text")
     )
@@ -191,6 +191,13 @@ def curate(
       not the accidentally-lowest id."""
     if survivor not in ("min_id", "quality"):
         raise ValueError(f"survivor must be 'min_id' or 'quality', got {survivor!r}")
+    if survivor != "min_id" and not cluster_resolve:
+        # the greedy route never consults the survivor policy — refuse
+        # rather than silently returning min-id survivors
+        raise ValueError(
+            "survivor='quality' requires cluster_resolve=True (the greedy "
+            "pair-loser route has no per-component survivor choice)"
+        )
     if boilerplate_min_doc_frac is not None:
         cleaned = remove_boilerplate_lines(
             docs, text_col=text_col, id_col=id_col,

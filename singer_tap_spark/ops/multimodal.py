@@ -238,19 +238,35 @@ def _parse_image_dims(b: bytes | None) -> tuple[str | None, int | None, int | No
         w, h = struct.unpack("<HH", b[6:10])
         return ("gif", w, h)
     if b[:2] == b"BM" and len(b) >= 26:
-        w, h = struct.unpack("<ii", b[18:26])
-        return ("bmp", w, abs(h))  # negative height = top-down DIB
-    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOF0/1/2
+        # DIB header size at offset 14 picks the layout: 12-byte
+        # BITMAPCOREHEADER has u16 dims at 18/20; the 40+-byte INFO
+        # family has i32 dims at 18/22 (negative height = top-down)
+        (dib,) = struct.unpack("<I", b[14:18])
+        if dib == 12:
+            w, h = struct.unpack("<HH", b[18:22])
+            return ("bmp", w, h)
+        if dib >= 40:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", w, abs(h))
+        return (None, None, None)
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOF frame
+        # every SOFn carries dims: C0-C3, C5-C7, C9-CB, CD-CF (C4=DHT,
+        # C8=JPG reserved, CC=DAC are NOT frames)
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
         i = 2
         while i + 9 <= len(b) and b[i] == 0xFF:
             marker = b[i + 1]
             if marker == 0xFF:  # fill byte (spec-legal padding): resync
                 i += 1
                 continue
-            if marker in (0xC0, 0xC1, 0xC2):
+            if marker in sof:
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return ("jpeg", w, h)
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # no length field
+            if marker == 0xDA:  # SOS: entropy data follows, walk ends
+                return (None, None, None)
+            # standalone markers carry no length field: TEM, RSTn, SOI, EOI
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                 i += 2
                 continue
             (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])

@@ -296,7 +296,10 @@ class CDCPipeline:
         rejects = decoded.where(
             ~F.col("_ctl")
             & (~F.col("_cand") | F.col("r.seq").isNull())
-            & (F.trim(F.col("value")) != "")
+            # \s-aware blank check: trim() strips ASCII space only, which
+            # would quarantine tab-only / bare-\r (CRLF) lines as parse
+            # failures — and abort the run under decode_errors='fail'
+            & ~F.col("value").rlike(r"^\s*$")
         ).select(
             "value",
             F.when(F.col("_unparsed"), F.lit("json_parse_failed"))
@@ -452,7 +455,16 @@ class CDCPipeline:
         stats = batch.groupBy("shard").agg(*aggs).collect()
         n_events = sum(r["n"] for r in stats)
         if n_events == 0:
-            return BatchMetrics(batch_id, 0, -1, 0, time.monotonic() - t0)
+            # consume the pending reject count even on an all-rejected (or
+            # resume-empty) batch: the count must neither vanish nor leak
+            # into a later batch's metrics
+            nr = getattr(self, "_last_rejects", -1)
+            self._last_rejects = -1
+            bm = BatchMetrics(batch_id, 0, -1, 0, time.monotonic() - t0,
+                              n_rejects=nr)
+            if nr >= 0:
+                self.metrics.add(bm)  # quarantine activity is observable
+            return bm
         affected = (
             sorted({b for r in stats for b in r["bks"]}) if bucketed_sink else None
         )
@@ -708,6 +720,16 @@ class CDCPipeline:
             return self._run_delta_feed_merge(feed_path, available_now)
         if impl != "stateful":
             raise ValueError(f"unknown delta-feed impl: {impl!r}")
+        if self.cfg.rejects_path is not None or self.cfg.decode_errors == "fail":
+            # the stateful operator needs the source decoded BEFORE its
+            # watermark, so the quarantine's deferred-decode trick cannot
+            # apply — refuse loudly rather than silently dropping bad lines
+            # the user explicitly asked to quarantine/abort on
+            raise ValueError(
+                "rejects_path/decode_errors='fail' are not supported with "
+                "impl='stateful' (decode cannot defer past the watermark); "
+                "use the default impl='merge'"
+            )
         from singer_tap_spark.streaming_state import stateful_lww_updates
 
         src = self._stream_source()

@@ -36,6 +36,11 @@ def get_spark(
         .master(master)
         # deterministic oracle comparisons: DuckDB timestamps are UTC-naive
         .config("spark.sql.session.timeZone", "UTC")
+        # modern parquet timestamps (micros) instead of legacy INT96:
+        # INT96 columns carry NO row-group min/max statistics, which kills
+        # both predicate pushdown on ts and the driver-side footer reads
+        # (tombstone-GC horizon, lake._max_ts_from_footers)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # EXPLICITLY lenient (Spark 4 defaults ANSI on): malformed casts
         # null-coerce instead of raising, matching the reference's Convert
         # semantics (value_converter.go:11-57 never errors, it coerces).

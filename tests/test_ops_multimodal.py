@@ -245,13 +245,16 @@ def test_image_dims_header_parsers(spark):
     png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
            + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 256, -128) + b"\x00" * 8
+    bmp = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+           + struct.pack("<ii", 256, -128) + b"\x00" * 8)
+    bmp_core = (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+                + struct.pack("<HH", 64, 48) + b"\x00" * 8)
     # JPEG: SOI, APP0 (16 bytes), DRI-style skip not needed, SOF0 with dims
     jpeg = (b"\xff\xd8"
             + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
             + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
             + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)
-    rows = [(1, png), (2, gif), (3, bmp), (4, jpeg),
+    rows = [(1, png), (2, gif), (3, bmp), (4, jpeg), (8, bmp_core),
             (5, b"\x89PNG\r\n\x1a\nshort"), (6, b"not an image"), (7, None)]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     out = {r["media_id"]: (r["img_format"], r["img_width"], r["img_height"])
@@ -259,6 +262,7 @@ def test_image_dims_header_parsers(spark):
     assert out[1] == ("png", 640, 480)
     assert out[2] == ("gif", 320, 200)
     assert out[3] == ("bmp", 256, 128)  # negative height = top-down, abs
+    assert out[8] == ("bmp", 64, 48)    # 12-byte BITMAPCOREHEADER (u16 dims)
     assert out[4] == ("jpeg", 1920, 1080)
     # fill bytes (consecutive 0xFF) before a marker are spec-legal padding
     import struct as _s

@@ -57,6 +57,8 @@ CONTROL = [
     json.dumps({"type": "STATE", "value": {}}),
     "",
     "   ",
+    "\t\t",   # tab-only: blank under \s, not a parse failure
+    "\r",     # bare CR from a CRLF-terminated log
 ]
 BAD = [
     '{"shard": "shard-0", "offset": 9, not json at all',        # parse fail
@@ -247,3 +249,28 @@ def test_reject_counts_in_metrics(spark, tmp_path):
     cfg_u.checkpoint_dir = f"{base}/ck_u"
     m3 = CDCPipeline(spark, cfg_u).run_streaming(available_now=True)
     assert all(b.n_rejects == -1 for b in m3.batches)
+
+
+def test_stateful_delta_feed_refuses_quarantine_config(spark, tmp_path):
+    """impl='stateful' cannot defer decode past its watermark, so a DLQ
+    config must refuse loudly instead of silently dropping bad lines."""
+    base = str(tmp_path)
+    _write_log(base)
+    p = CDCPipeline(spark, _cfg(base, rejects_path=f"{base}/rejects"))
+    with pytest.raises(ValueError, match="stateful"):
+        p.run_delta_feed(f"{base}/feed", impl="stateful")
+    p2 = CDCPipeline(spark, _cfg(base, decode_errors="fail"))
+    with pytest.raises(ValueError, match="stateful"):
+        p2.run_delta_feed(f"{base}/feed2", impl="stateful")
+
+
+def test_all_rejects_batch_metrics_not_lost(spark, tmp_path):
+    """A batch where EVERY line is undecodable still records its reject
+    count (and the count never leaks to a later batch)."""
+    base = str(tmp_path)
+    os.makedirs(f"{base}/log")
+    with open(f"{base}/log/part-0.jsonl", "w") as f:
+        f.write("\n".join(BAD) + "\n")
+    m = CDCPipeline(spark, _cfg(base, rejects_path=f"{base}/rejects")).replay()
+    assert len(m.batches) == 1
+    assert m.batches[0].events == 0 and m.batches[0].n_rejects == 3
