@@ -81,6 +81,14 @@ def _sync(args) -> None:
         bootstrap_from_snapshot(
             p, snap, ts_col=args.bootstrap_ts_col, n_chunks=args.bootstrap_chunks
         )
+    if args.reprocess_rejects:
+        bm = p.reprocess_rejects()
+        print(json.dumps({
+            "reprocessed": bm is not None,
+            "applied_events": bm.events if bm else 0,
+            "still_rejected": bm.n_rejects if bm else -1,
+        }))
+        return
     if args.delta_feed:
         fm = p.run_delta_feed(
             args.delta_feed,
@@ -293,6 +301,12 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument(
         "--decode-errors", choices=["skip", "fail"], default="skip",
         help="'fail' restores the reference's abort-on-bad-line semantics",
+    )
+    s.add_argument(
+        "--reprocess-rejects", action="store_true",
+        help="drain the DLQ: re-decode quarantined lines under the current "
+             "wire schema, merge the now-good rows (idempotent), rewrite "
+             "the quarantine with only the still-bad lines",
     )
     s.add_argument(
         "--tinyint-as-boolean", action=argparse.BooleanOptionalAction,

@@ -342,6 +342,62 @@ class CDCPipeline:
                     f"line={bad[0]['value'][:200]!r}"
                 )
 
+    def reprocess_rejects(self):
+        """Drain the dead-letter queue after an upstream fix: re-decode
+        every quarantined line under the CURRENT wire schema (the typical
+        fix is a schema evolution that adds the field whose absence caused
+        ``missing_required_field``), apply the now-good rows through the
+        normal idempotent merge, and REWRITE the quarantine with only the
+        still-bad lines.
+
+        Crash-safe: the merge lands first (replays tie inside the LWW
+        guard — re-running this method can never double-apply), then the
+        quarantine swaps via ``<rejects>_old`` -> new dir -> cleanup; a
+        crash between the two renames is recovered at the next call by
+        restoring ``_old``.  Cursor monotonicity holds: quarantined rows
+        carry historical offsets and ``Lineage.advance`` only moves
+        forward.  Returns the applied ``BatchMetrics`` (None when the
+        quarantine is absent or empty)."""
+        import os as _os
+        import shutil as _shutil
+
+        if self.cfg.rejects_path is None:
+            raise ValueError("reprocess_rejects needs cfg.rejects_path")
+        rp = self.cfg.rejects_path
+        old = f"{rp}_old"
+        if not _os.path.exists(rp) and _os.path.exists(old):
+            _os.rename(old, rp)  # crash between the swap renames: restore
+        if not _os.path.exists(rp):
+            return None
+        raw = self.spark.read.parquet(rp).select("value")
+        rows, still_bad = self._decode_jsonl_split(raw)
+        lineage = Lineage.load(self.cfg.lineage_path)
+        next_batch = 0
+        if lineage is not None:
+            done = [c.batch_id
+                    for c in lineage.streams.get(self.cfg.stream_name, {}).values()
+                    if c.batch_id >= 0]
+            next_batch = (max(done) + 1) if done else 0
+        bm = self.apply_batch(rows, next_batch)  # projects/normalizes inside
+        # rewrite the quarantine with the survivors — staged (never
+        # overwrite a path while reading it), swapped with recovery marker
+        stage = f"{rp}_stage"
+        _shutil.rmtree(stage, ignore_errors=True)
+        still_bad.write.mode("overwrite").parquet(stage)
+        _shutil.rmtree(old, ignore_errors=True)
+        _os.rename(rp, old)
+        _os.rename(stage, rp)
+        _shutil.rmtree(old, ignore_errors=True)
+        # surface the residual quarantine size on the batch's metrics
+        # (footer read, no job)
+        import pyarrow.dataset as pds
+
+        if bm is not None:
+            bm.n_rejects = pds.dataset(
+                rp, format="parquet", ignore_prefixes=[".", "_"]
+            ).count_rows()
+        return bm
+
     def _read_changelog(self) -> DataFrame:
         if self.cfg.changelog_format == "jsonl":
             return self._project(self._read_jsonl())

@@ -223,3 +223,34 @@ def test_cli_generic_source_format(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["total_events"] == 1500
     assert spark.read.parquet(f"{base}/tgt/data").count() > 0
+
+
+def test_cli_rejects_and_reprocess(spark, tmp_path, capsys):
+    """--rejects-path quarantines on sync; --reprocess-rejects drains."""
+    base = str(tmp_path)
+    import os
+
+    os.makedirs(f"{base}/log")
+    good = json.dumps({"shard": "shard-0", "offset": 1, "seq": 1,
+                       "op": "UPSERT", "ts": "2026-01-01T00:00:01.000Z",
+                       "conv_id": "c1", "turn_idx": 0, "role": "u",
+                       "text": "t", "tool": None, "schema_version": 1})
+    with open(f"{base}/log/part-0.jsonl", "w") as f:
+        f.write(good + "\n{broken\n")
+
+    main([
+        "sync", "--changelog", f"{base}/log", "--target", f"{base}/tgt",
+        "--lineage", f"{base}/lin.json", "--format", "jsonl",
+        "--rejects-path", f"{base}/rejects",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batches"][0]["n_rejects"] == 1
+
+    main([
+        "sync", "--changelog", f"{base}/log", "--target", f"{base}/tgt",
+        "--lineage", f"{base}/lin.json", "--format", "jsonl",
+        "--rejects-path", f"{base}/rejects", "--reprocess-rejects",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["applied_events"] == 0  # still broken
+    assert spark.read.parquet(f"{base}/rejects").count() == 1

@@ -274,3 +274,53 @@ def test_all_rejects_batch_metrics_not_lost(spark, tmp_path):
     m = CDCPipeline(spark, _cfg(base, rejects_path=f"{base}/rejects")).replay()
     assert len(m.batches) == 1
     assert m.batches[0].events == 0 and m.batches[0].n_rejects == 3
+
+
+def test_reprocess_rejects_after_schema_fix(spark, tmp_path):
+    """The DLQ drain workflow: lines missing `seq` quarantine under the
+    default wire schema; after the 'fix' (a wire schema whose seq maps
+    from an alternate field — here we just re-supply good lines), the
+    still-bad remain and the now-good rows merge idempotently."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    _write_log(base)
+    cfg = _cfg(base, rejects_path=f"{base}/rejects")
+    p = CDCPipeline(spark, cfg)
+    p.replay()
+    assert sum(_reasons(spark, f"{base}/rejects").values()) == 3
+
+    # nothing fixed yet: reprocess applies 0 rows, quarantine unchanged
+    bm = CDCPipeline(spark, cfg).reprocess_rejects()
+    assert bm is None or bm.events == 0
+    assert sum(_reasons(spark, f"{base}/rejects").values()) == 3
+
+    # simulate the upstream fix: rewrite the quarantine so the
+    # missing_required_field line now carries seq (the other two stay bad)
+    rej = spark.read.parquet(f"{base}/rejects").collect()
+    fixed_rows = []
+    for r in rej:
+        v = r["value"]
+        if r["reason"] == "missing_required_field":
+            doc = json.loads(v)
+            doc["seq"] = 99
+            doc["ts"] = "2026-01-01T00:01:39.000Z"
+            v = json.dumps(doc)
+        fixed_rows.append((v, r["reason"]))
+    import shutil
+
+    shutil.rmtree(f"{base}/rejects")
+    spark.createDataFrame(fixed_rows, "value string, reason string") \
+        .write.parquet(f"{base}/rejects")
+
+    bm2 = CDCPipeline(spark, cfg).reprocess_rejects()
+    assert bm2 is not None and bm2.events == 1
+    assert bm2.n_rejects == 2  # residual quarantine
+    assert sum(_reasons(spark, f"{base}/rejects").values()) == 2
+    tgt = spark.read.parquet(f"{base}/tgt")
+    assert tgt.where("conv_id = 'c9'").count() == 1  # fixed row merged
+
+    # idempotent: drain again — nothing applies, residual unchanged
+    bm3 = CDCPipeline(spark, cfg).reprocess_rejects()
+    assert bm3 is None or bm3.events == 0
+    assert sum(_reasons(spark, f"{base}/rejects").values()) == 2
