@@ -68,6 +68,7 @@ def _sync(args) -> None:
         decode_errors=args.decode_errors,
         sink_compact_every=args.sink_compact_every,
         sink_tombstone_lateness=args.sink_tombstone_lateness,
+        max_files_per_trigger=args.max_files_per_trigger,
     )
     p = CDCPipeline(spark, cfg)
     if args.bootstrap_snapshot:
@@ -283,6 +284,11 @@ def main(argv: list[str] | None = None) -> None:
         help="mor sink maintenance: fold the target table's delta files "
              "into its base every K applied batches (0 = never; cow "
              "ignores)",
+    )
+    s.add_argument(
+        "--max-files-per-trigger", type=int, default=64,
+        help="streaming micro-batch pacing: log files per trigger "
+             "(the reference's batch-size knob analogue)",
     )
     s.add_argument(
         "--sink-tombstone-lateness", default=None, metavar="INTERVAL",

@@ -88,7 +88,14 @@ class ParquetLakeTable(LakeTable):
         max_records_per_file: int = 0,
     ) -> None:
         """``mode``: 'cow' (default) rewrites touched buckets per merge —
-        best read latency, merge cost O(touched buckets).  'mor'
+        best read latency, merge cost O(touched buckets).  Delivery-order
+        contract: cow resolves per batch and drops deleted keys
+        immediately, so it assumes a key's DELETE is delivered no earlier
+        than its other events across batches (the binlog/VStream ordered
+        tail — the reference makes the same assumption by applying its
+        stream sequentially); an order-scrambled feed can resurrect
+        deleted keys — use 'mor', whose retained history makes read-time
+        LWW order-independent (SIGKILL chaos tests pin both).  'mor'
         (merge-on-read) APPENDS delta files per merge — merge cost O(batch),
         the right tradeoff for high-frequency small batches; reads resolve
         LWW over base+deltas and :meth:`compact` folds deltas into the base

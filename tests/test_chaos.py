@@ -1,0 +1,101 @@
+"""SIGKILL chaos: the exactly-once contract under uncooperative crashes.
+
+The deterministic forced-replay tests cover each crash WINDOW precisely;
+these tests cover crash BREADTH — a subprocess streaming sync is SIGKILLed
+mid-run (no cleanup, no atexit, a real `kill -9`), restarted, killed
+again, and run to completion through the spark-submit surface
+(python -m singer_tap_spark.job).  The final table must equal the DuckDB
+naive-LWW oracle and a further run must apply zero events.
+
+Delivery-order contract exercised per sink mode:
+- mor: retains the full event history as deltas (and keeps tombstones at
+  in-stream compaction), so read-time LWW equals the global LWW under
+  ARBITRARY cross-microbatch reordering — the salted multi-file log with
+  one-file triggers scrambles per-key event order on purpose.
+- cow: drops per-batch losers and deleted keys immediately, so it relies
+  on the binlog contract the reference's sequential VStream tail also
+  assumes — a key's DELETE is delivered no earlier than its other events
+  (per-shard offset-ordered files here: one file per shard).
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+from singer_tap_spark import CDCPipeline, PipelineConfig
+from singer_tap_spark.changelog import generate_changelog, write_changelog
+from tests.conftest import assert_frames_equal, duck, lww_oracle_sql
+
+KEYS = ["conv_id", "turn_idx"]
+COLS = ["conv_id", "turn_idx", "text"]
+
+
+def _spawn(base, sink_mode):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    return subprocess.Popen(
+        [sys.executable, "-m", "singer_tap_spark.job", "sync",
+         "--changelog", f"{base}/log", "--target", f"{base}/tgt",
+         "--lineage", f"{base}/lin.json", "--checkpoint", f"{base}/ckpt",
+         "--streaming", "--max-files-per-trigger", "1",
+         "--sink-mode", sink_mode],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+    )
+
+
+def _chaos_run(base, sink_mode):
+    # two SIGKILLs mid-stream (after JVM boot, before the single-file
+    # microbatches drain), then a run to completion
+    for delay in (22, 20):
+        p = _spawn(base, sink_mode)
+        time.sleep(delay)
+        if p.poll() is None:
+            p.send_signal(signal.SIGKILL)
+            p.wait()
+    p = _spawn(base, sink_mode)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out[-2000:]
+    # convergence: one more run applies zero events
+    p2 = _spawn(base, sink_mode)
+    out2, _ = p2.communicate(timeout=600)
+    assert p2.returncode == 0
+    m = json.loads(out2.decode().strip().splitlines()[-1])
+    assert m["total_events"] == 0, m
+
+
+def test_sigkill_chaos_mor_unordered_delivery(spark, tmp_path):
+    """mor sink, salted multi-file log (per-key order scrambled across
+    one-file microbatches) + two kill -9: still converges to the oracle."""
+    base = str(tmp_path)
+    df = generate_changelog(spark, 20000, update_frac=0.4, delete_frac=0.1,
+                            dup_frac=0.05)
+    write_changelog(df, f"{base}/log", n_files_per_shard=3)
+    _chaos_run(base, "mor")
+    cfg = PipelineConfig(
+        changelog_path=f"{base}/log", target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lin.json", sink_mode="mor",
+    )
+    got = CDCPipeline(spark, cfg).lake.read().select(*COLS).toPandas()
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))[COLS]
+    assert_frames_equal(got, want, KEYS)
+
+
+def test_sigkill_chaos_cow_ordered_delivery(spark, tmp_path):
+    """cow sink under the binlog contract (one offset-ordered file per
+    shard, so a key's delete never precedes its other events across
+    batches) + two kill -9: converges to the oracle."""
+    base = str(tmp_path)
+    df = generate_changelog(spark, 20000, update_frac=0.4, delete_frac=0.1,
+                            dup_frac=0.05)
+    write_changelog(df, f"{base}/log", n_files_per_shard=1)
+    _chaos_run(base, "cow")
+    cfg = PipelineConfig(
+        changelog_path=f"{base}/log", target_path=f"{base}/tgt",
+        lineage_path=f"{base}/lin.json",
+    )
+    got = CDCPipeline(spark, cfg).lake.read().select(*COLS).toPandas()
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))[COLS]
+    assert_frames_equal(got, want, KEYS)
