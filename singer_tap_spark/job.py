@@ -83,7 +83,14 @@ def _sync(args) -> None:
             p, snap, ts_col=args.bootstrap_ts_col, n_chunks=args.bootstrap_chunks
         )
     if args.reprocess_rejects:
-        bm = p.reprocess_rejects()
+        if args.delta_feed:
+            raise SystemExit(
+                "--reprocess-rejects drains into the MERGE TABLE; the "
+                "delta-feed head has no reprocess path (recovered rows "
+                "would silently bypass feed consumers) — run the drain "
+                "against the table pipeline instead"
+            )
+        bm = p.reprocess_rejects(allow_cow=args.reprocess_allow_cow)
         print(json.dumps({
             "reprocessed": bm is not None,
             "applied_events": bm.events if bm else 0,
@@ -307,6 +314,12 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument(
         "--decode-errors", choices=["skip", "fail"], default="skip",
         help="'fail' restores the reference's abort-on-bad-line semantics",
+    )
+    s.add_argument(
+        "--reprocess-allow-cow", action="store_true",
+        help="acknowledge the cow-sink resurrection caveat when draining "
+             "(quarantined keys must be never-deleted); default requires "
+             "--sink-mode mor",
     )
     s.add_argument(
         "--reprocess-rejects", action="store_true",

@@ -342,7 +342,7 @@ class CDCPipeline:
                     f"line={bad[0]['value'][:200]!r}"
                 )
 
-    def reprocess_rejects(self):
+    def reprocess_rejects(self, allow_cow: bool = False):
         """Drain the dead-letter queue after an upstream fix: re-decode
         every quarantined line under the CURRENT wire schema (the typical
         fix is a schema evolution that adds the field whose absence caused
@@ -350,26 +350,63 @@ class CDCPipeline:
         normal idempotent merge, and REWRITE the quarantine with only the
         still-bad lines.
 
-        Crash-safe: the merge lands first (replays tie inside the LWW
-        guard — re-running this method can never double-apply), then the
-        quarantine swaps via ``<rejects>_old`` -> new dir -> cleanup; a
-        crash between the two renames is recovered at the next call by
-        restoring ``_old``.  Cursor monotonicity holds: quarantined rows
-        carry historical offsets and ``Lineage.advance`` only moves
-        forward.  Returns the applied ``BatchMetrics`` (None when the
-        quarantine is absent or empty)."""
+        Sink-mode contract: a drained line is by definition a HISTORICAL
+        event replayed out of order, so the default requires ``mor`` —
+        its retained history (tombstones included) makes read-time LWW
+        order-independent.  Under ``cow`` a key deleted AFTER the
+        quarantined event has no stored competitor left and would be
+        resurrected with stale data; pass ``allow_cow=True`` only when the
+        quarantined keys are known never-deleted.
+
+        Crash-safe: the merge lands first (re-running this method can
+        never double-apply — replays tie inside the LWW guard), then the
+        quarantine is rewritten with the residue under ``batch=-1`` (a
+        batch id the stream never uses, keeping the hive layout uniform
+        with streaming's ``batch=N`` partitions) via a staged swap.  A
+        crash between the swap renames leaves ``<rejects>_old``; the next
+        call UNIONS it back into the input (even if a normal sync has
+        recreated the rejects dir meanwhile), so quarantined lines are
+        never silently lost.  Cursor monotonicity holds: historical
+        offsets never rewind ``Lineage.advance``.
+
+        NOTE for streaming quarantines: run the drain with the stream
+        stopped; a later checkpoint-forced replay of an old microbatch
+        rewrites THAT batch's original rejects partition (idempotent per
+        batch), which may re-quarantine lines this drain already applied —
+        drain again to clear (the merge side is idempotent).
+
+        Returns the applied ``BatchMetrics``, or None when the quarantine
+        is absent or empty (footer check, no job)."""
         import os as _os
         import shutil as _shutil
 
+        import pyarrow.dataset as pds
+
         if self.cfg.rejects_path is None:
             raise ValueError("reprocess_rejects needs cfg.rejects_path")
+        if self.cfg.sink_mode != "mor" and not allow_cow:
+            raise ValueError(
+                "reprocess_rejects replays HISTORICAL events out of order; "
+                "the cow sink drops tombstones per batch, so a key deleted "
+                "after a quarantined event would be resurrected.  Use "
+                "sink_mode='mor' (order-independent), or pass "
+                "allow_cow=True if the quarantined keys are never deleted"
+            )
         rp = self.cfg.rejects_path
         old = f"{rp}_old"
-        if not _os.path.exists(rp) and _os.path.exists(old):
-            _os.rename(old, rp)  # crash between the swap renames: restore
-        if not _os.path.exists(rp):
+        sources = [p for p in (rp, old) if _os.path.exists(p)]
+        if not sources:
             return None
-        raw = self.spark.read.parquet(rp).select("value")
+        if sum(
+            pds.dataset(p, format="parquet", ignore_prefixes=[".", "_"]).count_rows()
+            for p in sources
+        ) == 0:
+            return None
+        # read each source separately (rp may be batch=N-partitioned while
+        # a crash-recovered _old is flat — one multi-path read would trip
+        # conflicting-directory-structure detection)
+        parts = [self.spark.read.parquet(p).select("value") for p in sources]
+        raw = reduce(lambda a, b: a.unionByName(b), parts)
         rows, still_bad = self._decode_jsonl_split(raw)
         lineage = Lineage.load(self.cfg.lineage_path)
         next_batch = 0
@@ -379,19 +416,18 @@ class CDCPipeline:
                     if c.batch_id >= 0]
             next_batch = (max(done) + 1) if done else 0
         bm = self.apply_batch(rows, next_batch)  # projects/normalizes inside
-        # rewrite the quarantine with the survivors — staged (never
-        # overwrite a path while reading it), swapped with recovery marker
+        # residue -> batch=-1 (uniform hive layout vs streaming batch=N);
+        # staged (never overwrite a path being read), swapped with recovery
         stage = f"{rp}_stage"
         _shutil.rmtree(stage, ignore_errors=True)
-        still_bad.write.mode("overwrite").parquet(stage)
+        still_bad.write.mode("overwrite").parquet(f"{stage}/batch=-1")
         _shutil.rmtree(old, ignore_errors=True)
-        _os.rename(rp, old)
+        if _os.path.exists(rp):
+            _os.rename(rp, old)
         _os.rename(stage, rp)
         _shutil.rmtree(old, ignore_errors=True)
         # surface the residual quarantine size on the batch's metrics
         # (footer read, no job)
-        import pyarrow.dataset as pds
-
         if bm is not None:
             bm.n_rejects = pds.dataset(
                 rp, format="parquet", ignore_prefixes=[".", "_"]

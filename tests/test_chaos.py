@@ -47,14 +47,31 @@ def _spawn(base, sink_mode):
 
 
 def _chaos_run(base, sink_mode):
-    # two SIGKILLs mid-stream (after JVM boot, before the single-file
-    # microbatches drain), then a run to completion
-    for delay in (22, 20):
+    # two SIGKILLs mid-stream, then a run to completion.  Guards keep the
+    # coverage honest on faster/slower hosts: each kill must actually
+    # land (process still alive) and at least one kill must land AFTER
+    # progress was committed (lineage exists) but BEFORE completion —
+    # i.e. a genuine mid-stream crash, not a pre-boot or post-finish one.
+    killed_mid_stream = 0
+    for extra in (1.0, 2.5):
         p = _spawn(base, sink_mode)
-        time.sleep(delay)
+        # poll until the FIRST batch commits (lineage file appears), then
+        # let a little more work happen and kill — host-speed independent
+        deadline = time.monotonic() + 120
+        while (time.monotonic() < deadline and p.poll() is None
+               and not os.path.exists(f"{base}/lin.json")):
+            time.sleep(0.5)
+        time.sleep(extra)
         if p.poll() is None:
+            progressed = os.path.exists(f"{base}/lin.json")
             p.send_signal(signal.SIGKILL)
             p.wait()
+            if progressed:
+                killed_mid_stream += 1
+    assert killed_mid_stream >= 1, (
+        "chaos degenerated: no kill landed after first commit — retune "
+        "the sleeps for this host"
+    )
     p = _spawn(base, sink_mode)
     out, _ = p.communicate(timeout=600)
     assert p.returncode == 0, out[-2000:]

@@ -250,6 +250,7 @@ def test_cli_rejects_and_reprocess(spark, tmp_path, capsys):
         "sync", "--changelog", f"{base}/log", "--target", f"{base}/tgt",
         "--lineage", f"{base}/lin.json", "--format", "jsonl",
         "--rejects-path", f"{base}/rejects", "--reprocess-rejects",
+        "--reprocess-allow-cow",
     ])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["applied_events"] == 0  # still broken

@@ -290,8 +290,12 @@ def test_reprocess_rejects_after_schema_fix(spark, tmp_path):
     p.replay()
     assert sum(_reasons(spark, f"{base}/rejects").values()) == 3
 
+    # cow default refuses (historical replay can resurrect deleted keys)
+    with pytest.raises(ValueError, match="resurrected"):
+        CDCPipeline(spark, cfg).reprocess_rejects()
+
     # nothing fixed yet: reprocess applies 0 rows, quarantine unchanged
-    bm = CDCPipeline(spark, cfg).reprocess_rejects()
+    bm = CDCPipeline(spark, cfg).reprocess_rejects(allow_cow=True)
     assert bm is None or bm.events == 0
     assert sum(_reasons(spark, f"{base}/rejects").values()) == 3
 
@@ -313,7 +317,7 @@ def test_reprocess_rejects_after_schema_fix(spark, tmp_path):
     spark.createDataFrame(fixed_rows, "value string, reason string") \
         .write.parquet(f"{base}/rejects")
 
-    bm2 = CDCPipeline(spark, cfg).reprocess_rejects()
+    bm2 = CDCPipeline(spark, cfg).reprocess_rejects(allow_cow=True)
     assert bm2 is not None and bm2.events == 1
     assert bm2.n_rejects == 2  # residual quarantine
     assert sum(_reasons(spark, f"{base}/rejects").values()) == 2
@@ -321,6 +325,37 @@ def test_reprocess_rejects_after_schema_fix(spark, tmp_path):
     assert tgt.where("conv_id = 'c9'").count() == 1  # fixed row merged
 
     # idempotent: drain again — nothing applies, residual unchanged
-    bm3 = CDCPipeline(spark, cfg).reprocess_rejects()
+    bm3 = CDCPipeline(spark, cfg).reprocess_rejects(allow_cow=True)
     assert bm3 is None or bm3.events == 0
     assert sum(_reasons(spark, f"{base}/rejects").values()) == 2
+
+
+def test_reprocess_old_dir_union_recovery(spark, tmp_path):
+    """A crash between the drain's swap renames leaves <rp>_old; even if a
+    normal sync recreates the rejects dir meanwhile, the next drain UNIONS
+    _old back in — quarantined lines are never silently lost."""
+    base = str(tmp_path)
+    _write_log(base)
+    cfg = _cfg(base, rejects_path=f"{base}/rejects", sink_mode="mor")
+    CDCPipeline(spark, cfg).replay()
+    # simulate the crash window: quarantine moved aside, rp recreated by a
+    # later sync with only a fresh subset
+    import shutil
+
+    os.rename(f"{base}/rejects", f"{base}/rejects_old")
+    spark.createDataFrame(
+        [('{fresh-garbage', 'json_parse_failed')], "value string, reason string"
+    ).write.parquet(f"{base}/rejects")
+
+    bm = CDCPipeline(spark, cfg).reprocess_rejects()
+    # all 3 original still-bad lines + the fresh one survive the drain
+    assert bm is not None and bm.n_rejects == 4
+    assert sum(_reasons(spark, f"{base}/rejects").values()) == 4
+    assert not os.path.exists(f"{base}/rejects_old")
+
+    # empty-queue contract: drain everything bad away manually -> None
+    shutil.rmtree(f"{base}/rejects")
+    spark.createDataFrame([], "value string, reason string").write.parquet(
+        f"{base}/rejects"
+    )
+    assert CDCPipeline(spark, cfg).reprocess_rejects() is None
