@@ -1641,8 +1641,13 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id ORDER BY turn_idx) AS rn
               FROM allc
             ), pfx AS (
+              -- injective netstring rendering (length-prefixed fields),
+              -- matching conversation_prefix_dedup: crafted text cannot
+              -- imitate turn boundaries
               SELECT conv_id,
-                md5(string_agg(role || ': ' || text, chr(10)
+                md5(string_agg(
+                      length(role) || ':' || role || ':'
+                      || length(text) || ':' || text || '|', ''
                     ORDER BY turn_idx)) AS prefix_fp
               FROM r2 WHERE rn <= 3 GROUP BY conv_id
             )

@@ -19,6 +19,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+
+def _ordered_turns(
+    turns: DataFrame, conv_col: str, order_col: str, role_col: str, text_col: str
+) -> DataFrame:
+    """(conv_col, turns): per-conversation array_sort'd turn-struct array —
+    THE single-shuffle assembly every export op shares (collect_list +
+    array_sort; per-conversation sort, never global).  One definition so
+    ordering/null semantics cannot silently diverge between ops."""
+    turn_struct = F.struct(
+        F.col(order_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("text"),
+    )
+    return turns.groupBy(conv_col).agg(
+        F.array_sort(F.collect_list(turn_struct)).alias("turns")
+    )
+
+
 def assemble_conversations(
     turns: DataFrame,
     conv_col: str = "conv_id",
@@ -33,14 +51,7 @@ def assemble_conversations(
     ``doc`` is ``role: text`` lines in turn order — the export format a
     tokenizer/packer consumes downstream.
     """
-    turn_struct = F.struct(
-        F.col(order_col).alias("turn_idx"),
-        F.col(role_col).alias("role"),
-        F.col(text_col).alias("text"),
-    )
-    agg = turns.groupBy(conv_col).agg(
-        F.array_sort(F.collect_list(turn_struct)).alias("turns")
-    )
+    agg = _ordered_turns(turns, conv_col, order_col, role_col, text_col)
     return agg.select(
         F.col(conv_col),
         F.size("turns").alias("n_turns"),
@@ -76,20 +87,22 @@ def conversation_prefix_dedup(
     whole (shorter) prefix — forks that diverge inside the window stay
     distinct.
     """
-    turn_struct = F.struct(
-        F.col(order_col).alias("turn_idx"),
-        F.col(role_col).alias("role"),
-        F.col(text_col).alias("text"),
-    )
-    agg = turns.groupBy(conv_col).agg(
-        F.array_sort(F.collect_list(turn_struct)).alias("turns")
-    )
+    agg = _ordered_turns(turns, conv_col, order_col, role_col, text_col)
+    # INJECTIVE serialization (length-prefixed fields, netstring-style):
+    # rendering 'role: text' lines is forgeable — a single turn whose text
+    # contains '\nassistant: ...' renders identically to several real
+    # turns, colliding distinct conversations under one fingerprint.
+    # Length prefixes pin every field boundary, so no crafted text can
+    # imitate another turn sequence.
     prefix_doc = F.array_join(
         F.transform(
             F.slice(F.col("turns"), 1, prefix_turns),
-            lambda t: F.concat(t["role"], F.lit(": "), t["text"]),
+            lambda t: F.concat(
+                F.length(t["role"]), F.lit(":"), t["role"], F.lit(":"),
+                F.length(t["text"]), F.lit(":"), t["text"], F.lit("|"),
+            ),
         ),
-        "\n",
+        "",
     )
     fps = agg.select(F.col(conv_col), F.md5(prefix_doc).alias("prefix_fp"))
     return fps.groupBy("prefix_fp").agg(
@@ -130,14 +143,7 @@ def render_chat_template(
             f"unknown chat template {template!r}; known: "
             f"{sorted(_CHAT_TEMPLATES)}"
         ) from None
-    turn_struct = F.struct(
-        F.col(order_col).alias("turn_idx"),
-        F.col(role_col).alias("role"),
-        F.col(text_col).alias("text"),
-    )
-    agg = turns.groupBy(conv_col).agg(
-        F.array_sort(F.collect_list(turn_struct)).alias("turns")
-    )
+    agg = _ordered_turns(turns, conv_col, order_col, role_col, text_col)
     return agg.select(
         F.col(conv_col),
         F.size("turns").alias("n_turns"),

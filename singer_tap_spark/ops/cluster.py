@@ -89,59 +89,62 @@ def near_dup_clusters(
         labels = labels.checkpoint(eager=True)
 
     rounds = 0
-    for _ in range(max_rounds):
-        rounds += 1
-        # propagate: min neighbor label per node (partial-agg min — a hot
-        # node ships one candidate per input partition, never its degree)
-        nbr = (
-            edges.join(
-                labels.select(F.col("id").alias("u"), F.col("label").alias("ul")),
-                "u",
+    try:
+        for _ in range(max_rounds):
+            rounds += 1
+            # propagate: min neighbor label per node (partial-agg min — a hot
+            # node ships one candidate per input partition, never its degree)
+            nbr = (
+                edges.join(
+                    labels.select(F.col("id").alias("u"), F.col("label").alias("ul")),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.min("ul").alias("nl"))
             )
-            .groupBy(F.col("v").alias("id"))
-            .agg(F.min("ul").alias("nl"))
-        )
-        prop = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                "label"
-            ),
-        )
-        # compress: label <- label(label) (pointer doubling; the label set
-        # is always a subset of the id set, so the lookup join always hits)
-        new = (
-            prop.alias("x")
-            .join(
-                prop.select(
-                    F.col("id").alias("label"), F.col("label").alias("ll")
-                ).alias("y"),
-                "label",
-                "left",
+            prop = labels.join(nbr, "id", "left").select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
             )
-            .select("id", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
-        )
-        if checkpoint == "local":
-            new = new.localCheckpoint(eager=True)
-        elif checkpoint == "reliable":
-            new = new.checkpoint(eager=True)
-        # labels only decrease: zero strict decreases == fixpoint
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    else:
+            # compress: label <- label(label) (pointer doubling; the label set
+            # is always a subset of the id set, so the lookup join always hits)
+            new = (
+                prop.alias("x")
+                .join(
+                    prop.select(
+                        F.col("id").alias("label"), F.col("label").alias("ll")
+                    ).alias("y"),
+                    "label",
+                    "left",
+                )
+                .select("id", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
+            )
+            if checkpoint == "local":
+                new = new.localCheckpoint(eager=True)
+            elif checkpoint == "reliable":
+                new = new.checkpoint(eager=True)
+            # labels only decrease: zero strict decreases == fixpoint
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") < F.col("o.label"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"near_dup_clusters did not converge in {max_rounds} rounds "
+                "(raise max_rounds; O(log n) expected)"
+            )
+    finally:
+        # unpersist on EVERY exit (incl. a failed round's exception) —
+        # leaked cached edges accumulate executor storage across retries
         edges.unpersist()
-        raise RuntimeError(
-            f"near_dup_clusters did not converge in {max_rounds} rounds "
-            "(raise max_rounds; O(log n) expected)"
-        )
 
-    edges.unpersist()
     out = labels.select(F.col("id").alias(id_col), F.col("label").alias(out_col))
     # rounds surfaced for tests/diagnostics (O(log n) convergence gate)
     out._cc_rounds = rounds

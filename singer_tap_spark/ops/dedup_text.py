@@ -362,17 +362,24 @@ def benchmark_contamination(
     the benchmark — a metadata-sized driver read on the small side), so a
     10-word eval prompt quoted inside a long document still matches.
     """
-    nb = _with_norm(bench, bench_text_col, bench_id_col)
+    # empty/whitespace-only items carry no content and must not join:
+    # size(split('', ' ')) is 1, so an m>0 guard can never exclude them —
+    # filter on the normalized text itself (an empty bench item would
+    # otherwise register short length 1, exploding every distinct word of
+    # the whole corpus, and 'match' every empty doc via the '' gram)
+    nb = _with_norm(bench, bench_text_col, bench_id_col).where(
+        F.length(F.col("_t")) > 0
+    )
     short_lengths = sorted(
         r[0]
         for r in nb.select(
             F.size(F.split(F.col("_t"), " ")).alias("m")
         )
-        .where((F.col("m") < n) & (F.col("m") > 0))
+        .where(F.col("m") < n)
         .distinct()
         .collect()
     )
-    nd = _with_norm(docs, text_col, id_col)
+    nd = _with_norm(docs, text_col, id_col).where(F.length(F.col("_t")) > 0)
     gram_sizes = tuple([n, *short_lengths])
     if impl == "arrow":
         doc_grams = _word_ngrams_udf(gram_sizes)(F.col("_t"))

@@ -90,6 +90,19 @@ class _SignatureIndex:
         """LWW-merge signature rows (epoch ts, seq = batch_id: replaying a
         batch ties and no-ops; a re-ingested doc_id replaces its row when
         ``batch_id`` advances)."""
+        # meta BEFORE the first data commit: a crash in between leaves an
+        # empty-but-parameterized index; the reverse order would leave a
+        # POPULATED index whose parameter guard silently never engages
+        # (a 32-hash reopen of 64-hash data would zip nulls instead of
+        # raising the documented incompatibility error)
+        if not os.path.exists(self._meta_file):
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"{self._meta_file}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    dict(self._params, n_buckets=self.table.n_buckets), f
+                )
+            os.replace(tmp, self._meta_file)
         self.table.merge(
             rows.select(
                 "*",
@@ -99,14 +112,6 @@ class _SignatureIndex:
             ),
             batch_id=batch_id,
         )
-        if not os.path.exists(self._meta_file):
-            os.makedirs(self.path, exist_ok=True)
-            tmp = f"{self._meta_file}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(
-                    dict(self._params, n_buckets=self.table.n_buckets), f
-                )
-            os.replace(tmp, self._meta_file)
 
 
 class MinHashIndex(_SignatureIndex):
@@ -147,8 +152,16 @@ class MinHashIndex(_SignatureIndex):
         batch_id: int = 0,
         text_col: str = "text",
         id_col: str = "doc_id",
+        signatures: DataFrame | None = None,
     ) -> None:
-        self._merge(self._signatures(docs, text_col, id_col), batch_id)
+        """``signatures``: a precomputed :meth:`_signatures` frame (e.g.
+        persisted once per streaming microbatch and shared with
+        :meth:`dedup_batch` — signature cost lands once, not per action)."""
+        self._merge(
+            signatures if signatures is not None
+            else self._signatures(docs, text_col, id_col),
+            batch_id,
+        )
 
     def read_signatures(self) -> DataFrame:
         """(id, sig, sh, sz) — the current index state."""
@@ -163,6 +176,7 @@ class MinHashIndex(_SignatureIndex):
         id_col: str = "doc_id",
         verify_threshold: float | None = 0.5,
         est_margin: float = 0.25,
+        signatures: DataFrame | None = None,
     ) -> DataFrame:
         """Near-dup pairs of ``batch`` against (index ∪ batch) — every pair
         with at least one batch side: batch-vs-index AND batch-vs-batch
@@ -171,21 +185,30 @@ class MinHashIndex(_SignatureIndex):
         Returns (a, b, est_jaccard[, jaccard]) with a < b — identical
         columns, identical math to ``minhash_lsh_candidates`` on the
         combined corpus, restricted to batch-touching pairs.
+        ``signatures``: share one precomputed/persisted signature frame
+        with :meth:`upsert` (see run_streaming_dedup).
         """
-        bsig = self._signatures(batch, text_col, id_col).select(
-            F.col("doc_id").alias("id"), "sig", "sh", "sz"
+        raw_sig = (
+            signatures if signatures is not None
+            else self._signatures(batch, text_col, id_col)
         )
+        bsig = raw_sig.select(F.col("doc_id").alias("id"), "sig", "sh", "sz")
         # empty/new index: an empty frame of the batch's own shape, so the
         # first streaming microbatch dedups purely within itself
         isig = self.read_signatures() if self.exists() else bsig.limit(0)
 
+        # drop re-ingested ids from the index side ONCE, for BOTH candidate
+        # discovery and signature lookup: a stale signature must not drive
+        # banding (it describes text that no longer exists — candidates
+        # from it would diverge from the full-corpus recompute)
+        i_cur = isig.join(bsig.select("id"), "id", "left_anti")
         b_bands = band_rows(bsig.select("id", "sig"), self.num_hashes, self.bands)
-        i_bands = band_rows(isig.select("id", "sig"), self.num_hashes, self.bands)
+        i_bands = band_rows(i_cur.select("id", "sig"), self.num_hashes, self.bands)
         cand = _batch_candidates(i_bands, b_bands, ["band", "bucket"])
 
         # estimator + verify need (sig, sh) for BOTH sides: batch rows win
         # over index rows for overlapping ids (the batch text is current)
-        all_sig = bsig.unionByName(isig.join(bsig.select("id"), "id", "left_anti"))
+        all_sig = bsig.unionByName(i_cur)
         return _estimate_and_verify(
             cand,
             all_sig.select("id", "sig"),
@@ -245,13 +268,14 @@ class SimHashIndex(_SignatureIndex):
             F.col("doc_id").alias("id"), "simhash"
         )
         isig = self.read_signatures() if self.exists() else bsig.limit(0)
+        # one anti-join, reused for lookup AND chunking (two separate
+        # subtrees would scan the index table twice per batch)
+        i_cur = isig.join(bsig.select("id"), "id", "left_anti")
         # batch rows win for overlapping ids (re-ingested doc, new text)
-        all_sig = bsig.unionByName(isig.join(bsig.select("id"), "id", "left_anti"))
+        all_sig = bsig.unionByName(i_cur)
 
         b_chunks = simhash_chunk_rows(bsig, max_hamming).select("id", "ci", "cv")
-        i_chunks = simhash_chunk_rows(
-            isig.join(bsig.select("id"), "id", "left_anti"), max_hamming
-        ).select("id", "ci", "cv")
+        i_chunks = simhash_chunk_rows(i_cur, max_hamming).select("id", "ci", "cv")
         cand = _batch_candidates(i_chunks, b_chunks, ["ci", "cv"])
         return (
             cand.join(
@@ -474,14 +498,22 @@ def run_streaming_dedup(
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = index.dedup_batch(
-            batch_df,
-            text_col=text_col,
-            id_col=id_col,
-            verify_threshold=verify_threshold,
-        )
-        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
-        index.upsert(batch_df, batch_id=batch_id, text_col=text_col, id_col=id_col)
+        # signatures computed ONCE per microbatch (the module's own scale
+        # contract): persisted so the pair write and the index merge —
+        # two separate actions — don't each re-run the shingle+minhash plan
+        sig = index._signatures(batch_df, text_col, id_col).persist()
+        try:
+            pairs = index.dedup_batch(
+                batch_df,
+                text_col=text_col,
+                id_col=id_col,
+                verify_threshold=verify_threshold,
+                signatures=sig,
+            )
+            pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+            index.upsert(batch_df, batch_id=batch_id, signatures=sig)
+        finally:
+            sig.unpersist()
 
     src = (
         spark.readStream.schema(spark.read.parquet(docs_path).schema)

@@ -173,3 +173,21 @@ def test_conversation_prefix_dedup_groups_forks(spark):
     out = {r["canonical_conv_id"]: r["n_convs"]
            for r in conversation_prefix_dedup(turns, prefix_turns=3).collect()}
     assert out == {1: 2, 3: 1, 4: 2}
+
+
+def test_prefix_fingerprint_is_injective(spark):
+    """A single turn whose text imitates rendered 'role: text' lines must
+    NOT collide with the real multi-turn conversation it imitates (the
+    length-prefixed netstring serialization pins field boundaries)."""
+    from singer_tap_spark.export import conversation_prefix_dedup
+
+    real = [("A", i, r, t) for i, (r, t) in enumerate(
+        [("user", "a"), ("assistant", "b"), ("user", "c")])]
+    forged = [("B", 0, "user", "a|9:assistant:1:b|4:user:1:c|")]
+    # a second forgery targeting the old '\n'-joined rendering
+    forged2 = [("C", 0, "user", "a\nassistant: b\nuser: c")]
+    df = spark.createDataFrame(real + forged + forged2,
+                               "conv_id string, turn_idx int, role string, text string")
+    out = conversation_prefix_dedup(df, prefix_turns=3)
+    assert out.count() == 3  # three distinct fingerprints, no merge
+    assert out.where("n_convs > 1").count() == 0

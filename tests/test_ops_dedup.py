@@ -432,3 +432,21 @@ def test_quantile_gate_no_corpus_shuffle(spark):
     assert all(
         e in ("SinglePartition", "IdentityBroadcastMode") for e in exchanges
     ), exchanges
+
+
+def test_contamination_ignores_empty_items(spark):
+    """Empty/whitespace bench items and docs carry no content: they must
+    neither register a short length (which would explode every corpus
+    word) nor 'match' each other via the '' gram."""
+    from singer_tap_spark.ops.dedup_text import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, ""), (11, "  "), (12, "beta gamma")],
+        "bench_id long, text string",
+    )
+    out = benchmark_contamination(docs, bench, n=2).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in out} == {(1, 12)}

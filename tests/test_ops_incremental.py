@@ -109,6 +109,28 @@ def test_reingested_doc_replaces_signature(spark, tmp_path):
     assert {(a, b) for a, b, *_ in got} == {(1, 2)}
 
 
+def test_batch_reingestion_ignores_stale_index_signature(spark, tmp_path):
+    """A batch that ITSELF re-ingests a doc must not let the doc's STALE
+    index signature drive candidate discovery: the old text no longer
+    exists, so a pair found through its bands would diverge from the
+    full-corpus recompute (est-only mode has no verify to catch it)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.upsert(
+        spark.createDataFrame([(1, shared)], "doc_id long, text string"),
+        batch_id=0,
+    )
+    batch = spark.createDataFrame(
+        [(1, "totally new unrelated replacement content words here now"),
+         (2, shared)],  # identical to doc 1's OLD text
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]) for r in
+           idx.dedup_batch(batch, verify_threshold=None).collect()
+           if r["est_jaccard"] > 0.9}
+    assert (1, 2) not in got  # stale signature must not produce the pair
+
+
 def test_simhash_batch_vs_index_equals_full_recompute(spark, tmp_path):
     """SimHash flavor: dedup_batch == simhash_near_dup_pairs on the
     combined corpus, restricted to batch-touching pairs (exact-by-
