@@ -116,3 +116,67 @@ def test_sigkill_chaos_cow_ordered_delivery(spark, tmp_path):
     got = CDCPipeline(spark, cfg).lake.read().select(*COLS).toPandas()
     want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))[COLS]
     assert_frames_equal(got, want, KEYS)
+
+
+def test_sigkill_chaos_delta_feed(spark, tmp_path):
+    """The delta feed's three-artifact crash contract (feed _SUCCESS ->
+    mor state merge -> _last_batch marker) under real kill -9s: the
+    resolved union of all emitted batch partitions equals the LWW oracle
+    over the log, and a further run emits no new batches."""
+    from singer_tap_spark.dedup import lww_latest
+
+    base = str(tmp_path)
+    df = generate_changelog(spark, 20000, update_frac=0.4, delete_frac=0.1,
+                            dup_frac=0.05)
+    write_changelog(df, f"{base}/log", n_files_per_shard=1)
+
+    def spawn():
+        env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+        return subprocess.Popen(
+            [sys.executable, "-m", "singer_tap_spark.job", "sync",
+             "--changelog", f"{base}/log", "--target", f"{base}/tgt",
+             "--lineage", f"{base}/lin.json", "--checkpoint", f"{base}/ckpt",
+             "--streaming", "--max-files-per-trigger", "1",
+             "--delta-feed", f"{base}/feed", "--delta-feed-compact-every", "2"],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+
+    killed_mid_stream = 0
+    for extra in (1.0, 2.5):
+        p = spawn()
+        deadline = time.monotonic() + 120
+        while (time.monotonic() < deadline and p.poll() is None
+               and not os.path.exists(f"{base}/feed_state/_last_batch.json")):
+            time.sleep(0.5)
+        time.sleep(extra)
+        if p.poll() is None:
+            progressed = os.path.exists(f"{base}/feed_state/_last_batch.json")
+            p.send_signal(signal.SIGKILL)
+            p.wait()
+            if progressed:
+                killed_mid_stream += 1
+    assert killed_mid_stream >= 1
+    p = spawn()
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out[-2000:]
+
+    resolved = lww_latest(
+        spark.read.parquet(f"{base}/feed"), ("conv_id", "turn_idx"),
+        ("ts", "seq"), value_cols=["op", "text", "ts", "seq"],
+    )
+    got = (
+        resolved.where("op <> 'DELETE'")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    want = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))[COLS]
+    assert_frames_equal(got, want, KEYS)
+
+    # convergence: a further run emits no new feed partitions
+    before = set(os.listdir(f"{base}/feed"))
+    p2 = spawn()
+    out2, _ = p2.communicate(timeout=600)
+    assert p2.returncode == 0
+    after = {e for e in os.listdir(f"{base}/feed") if e.startswith("batch=")}
+    assert {e for e in before if e.startswith("batch=")} == after
