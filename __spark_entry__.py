@@ -586,7 +586,7 @@ def q_docs_token_histogram(spark, sf_dir):
 def q_corpus_curate(spark, sf_dir):
     """Composed curation pipeline: annotate -> quality/length gate ->
     exact dedup on the doubled corpus (near-dup stage is xxhash-based,
-    exercised in the rows-only docs_minhash_lsh entry)."""
+    exercised in the full-oracle docs_minhash_lsh entry)."""
     from singer_tap_spark.ops.curate import curate
 
     d = _t(spark, sf_dir, "documents")
@@ -1641,14 +1641,14 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id ORDER BY turn_idx) AS rn
               FROM allc
             ), pfx AS (
-              -- injective netstring rendering (length-prefixed fields),
-              -- matching conversation_prefix_dedup: crafted text cannot
-              -- imitate turn boundaries
+              -- injective netstring rendering (length-prefixed fields,
+              -- NULL -> sentinel 'N'), matching conversation_prefix_dedup:
+              -- crafted text cannot imitate turn boundaries
               SELECT conv_id,
                 md5(string_agg(
-                      length(role) || ':' || role || ':'
-                      || length(text) || ':' || text || '|', ''
-                    ORDER BY turn_idx)) AS prefix_fp
+                      coalesce(length(role) || ':' || role, 'N') || ':'
+                      || coalesce(length(text) || ':' || text, 'N') || '|',
+                      '' ORDER BY turn_idx)) AS prefix_fp
               FROM r2 WHERE rn <= 3 GROUP BY conv_id
             )
             SELECT prefix_fp, min(conv_id) AS canonical_conv_id,

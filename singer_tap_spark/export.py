@@ -93,13 +93,21 @@ def conversation_prefix_dedup(
     # contains '\nassistant: ...' renders identically to several real
     # turns, colliding distinct conversations under one fingerprint.
     # Length prefixes pin every field boundary, so no crafted text can
-    # imitate another turn sequence.
+    # imitate another turn sequence.  NULL fields encode as the sentinel
+    # 'N' (unforgeable: every non-null field starts with a digit) —
+    # a bare concat would go NULL and array_join would silently DROP the
+    # element, colliding conversations that differ only by a null turn,
+    # and making NULL distinct from '' ('0:').
+    def _field(x):
+        return F.when(x.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(x), F.lit(":"), x)
+        )
+
     prefix_doc = F.array_join(
         F.transform(
             F.slice(F.col("turns"), 1, prefix_turns),
             lambda t: F.concat(
-                F.length(t["role"]), F.lit(":"), t["role"], F.lit(":"),
-                F.length(t["text"]), F.lit(":"), t["text"], F.lit("|"),
+                _field(t["role"]), F.lit(":"), _field(t["text"]), F.lit("|"),
             ),
         ),
         "",

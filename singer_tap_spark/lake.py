@@ -458,6 +458,21 @@ class ParquetLakeTable(LakeTable):
                 # An agg over `resolved` would re-execute the whole
                 # resolve shuffle just for one scalar.
                 horizon = self._max_ts_from_footers()
+                if horizon is None:
+                    # stats-less files (legacy INT96 parquet, stripped
+                    # footers): silently retaining forever would mean a
+                    # configured GC that never engages — warn and fall back
+                    # to a one-scalar agg over the resolved state (one extra
+                    # job, compaction-time only).
+                    import warnings
+
+                    warnings.warn(
+                        "tombstone_lateness configured but no parquet footer "
+                        "ts statistics found; falling back to a full-scan "
+                        "max(ts) for the GC horizon",
+                        stacklevel=2,
+                    )
+                    horizon = resolved.agg(F.max("ts")).first()[0]
                 if horizon is not None:
                     tombs = tombs.where(
                         F.col("ts")

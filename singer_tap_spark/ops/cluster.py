@@ -165,15 +165,32 @@ def cluster_survivors(
     id — the policy a training corpus wants when quality is known (keep the
     cleanest copy of each near-dup group, not the accidentally-lowest id).
 
-    One partial-agg shuffle on cluster_id (``max_by`` combines map-side);
-    a billion-member component ships one candidate per map partition, so a
-    giant cluster cannot serialize onto one reducer.  The min-id tie-break
-    negates the id, so ``id_col`` must be numeric when ``score_col`` is
-    used."""
+    Partial-agg shuffles on cluster_id only (``max_by`` / ``min``/``max``
+    combine map-side); a billion-member component ships one candidate per
+    map partition, so a giant cluster cannot serialize onto one reducer.
+    Numeric ids tie-break in ONE aggregation (``max_by`` over
+    ``struct(score, -id)``); non-numeric (string/binary) ids can't negate,
+    so they take a two-agg path — per-cluster max score, then min id among
+    the tied best — still all partial aggregations, one extra small join
+    (per-cluster maxes, broadcastable)."""
     if score_col is None:
         return members.groupBy(cluster_col).agg(F.min(id_col).alias(id_col))
-    return members.groupBy(cluster_col).agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
-        ).alias(id_col)
+    from pyspark.sql.types import NumericType
+
+    if isinstance(members.schema[id_col].dataType, NumericType):
+        return members.groupBy(cluster_col).agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+            ).alias(id_col)
+        )
+    best = members.groupBy(cluster_col).agg(F.max(score_col).alias("_best"))
+    return (
+        # no broadcast hint: `best` is one row per CLUSTER (can be huge);
+        # AQE picks broadcast when it actually fits.  eqNullSafe keeps
+        # all-NULL-score clusters (max() yields NULL) instead of silently
+        # dropping them — they fall back to the min-id policy.
+        members.join(best, cluster_col)
+        .where(F.col(score_col).eqNullSafe(F.col("_best")))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias(id_col))
     )

@@ -126,14 +126,20 @@ def quantile_gate(
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
     p = 1.0 - keep_frac
+    # backtick-quote (and escape embedded backticks) so column names with
+    # spaces/dots/hyphens parse as one identifier instead of failing
+    # analysis or resolving a nested field
+    col_q = "`" + score_col.replace("`", "``") + "`"
     expr = (
-        f"percentile({score_col}, {p!r})"
+        f"percentile({col_q}, {p!r})"
         if exact
-        else f"approx_percentile({score_col}, {p!r}, {accuracy})"
+        else f"approx_percentile({col_q}, {p!r}, {accuracy})"
     )
     thr = docs.agg(F.expr(expr).alias("_thr"))
+    # the backticked form resolves the literal name (bare '.' would parse
+    # as nested-field access)
     return docs.join(
-        F.broadcast(thr), F.col(score_col) >= F.col("_thr")
+        F.broadcast(thr), F.col(col_q) >= F.col("_thr")
     ).drop("_thr")
 
 

@@ -407,6 +407,14 @@ class CDCPipeline:
         # conflicting-directory-structure detection)
         parts = [self.spark.read.parquet(p).select("value") for p in sources]
         raw = reduce(lambda a, b: a.unionByName(b), parts)
+        if len(parts) > 1:
+            # crash-recovery union: a crash between the swap renames leaves
+            # rp (already holding the residue) AND _old (the original lines
+            # incl. that same residue) — without dedup every still-bad line
+            # would be permanently DOUBLED in the rewritten quarantine on
+            # each such drain.  Dedup on the raw line; identical bad lines
+            # decode to identical events and tie in the LWW merge anyway.
+            raw = raw.dropDuplicates(["value"])
         rows, still_bad = self._decode_jsonl_split(raw)
         lineage = Lineage.load(self.cfg.lineage_path)
         next_batch = 0

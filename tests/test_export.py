@@ -191,3 +191,24 @@ def test_prefix_fingerprint_is_injective(spark):
     out = conversation_prefix_dedup(df, prefix_turns=3)
     assert out.count() == 3  # three distinct fingerprints, no merge
     assert out.where("n_convs > 1").count() == 0
+
+
+def test_prefix_fingerprint_null_fields_stay_distinct(spark):
+    """NULL role/text must not collapse the netstring element (a NULL
+    concat would be dropped by array_join, colliding conversations that
+    differ only by a null-text turn), and NULL must stay distinct from
+    the empty string ('N' sentinel vs '0:')."""
+    from singer_tap_spark.export import conversation_prefix_dedup
+
+    rows = [
+        ("A", 0, "user", "hi"), ("A", 1, "assistant", None),
+        ("B", 0, "user", "hi"),                     # missing-2nd-turn conv
+        ("C", 0, "user", "hi"), ("C", 1, "assistant", ""),  # empty != NULL
+        ("D", 0, "user", "hi"), ("D", 1, "assistant", None),  # dup of A
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = conversation_prefix_dedup(df, prefix_turns=3)
+    groups = {r["canonical_conv_id"]: r["n_convs"] for r in out.collect()}
+    assert groups == {"A": 2, "B": 1, "C": 1}

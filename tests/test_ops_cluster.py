@@ -184,6 +184,28 @@ def test_cluster_survivors_best_quality(spark):
     assert mins == {1: 1, 4: 4, 7: 7}
 
 
+def test_cluster_survivors_string_ids_tie_break(spark):
+    """Non-numeric ids can't negate for the one-agg tie-break; the two-agg
+    path must still break score ties to the MIN id deterministically (the
+    old -F.col(id) cast a string id to NULL and tied nondeterministically),
+    and an all-NULL-score cluster must fall back to min-id, not vanish."""
+    from singer_tap_spark.ops.cluster import cluster_survivors
+
+    members = spark.createDataFrame(
+        [
+            ("docB", "c1", 0.8), ("docA", "c1", 0.8), ("docC", "c1", 0.2),
+            ("docZ", "c2", 0.5),
+            ("docN2", "c3", None), ("docN1", "c3", None),
+        ],
+        "doc_id string, cluster_id string, quality double",
+    )
+    best = {
+        r["cluster_id"]: r["doc_id"]
+        for r in cluster_survivors(members, score_col="quality").collect()
+    }
+    assert best == {"c1": "docA", "c2": "docZ", "c3": "docN1"}
+
+
 def test_curate_quality_survivor_keeps_cleanest(spark):
     """curate(cluster_resolve=True, survivor='quality') keeps exactly one
     doc per near-dup chain — the highest-quality one, which greedy min-id

@@ -405,6 +405,12 @@ def test_quantile_gate_keeps_top_fraction(spark):
     approx = quantile_gate(docs, keep_frac=0.3, exact=False).count()
     assert abs(approx - 30) <= 2
 
+    # score column names needing backticks (space/dot/hyphen) must parse
+    # as ONE identifier, not fail analysis or resolve a nested field
+    odd = docs.withColumnRenamed("quality", "quality score.v1")
+    assert quantile_gate(odd, score_col="quality score.v1",
+                         keep_frac=0.3).count() == 30
+
     import pytest
 
     with pytest.raises(ValueError):

@@ -330,6 +330,27 @@ def test_reprocess_rejects_after_schema_fix(spark, tmp_path):
     assert sum(_reasons(spark, f"{base}/rejects").values()) == 2
 
 
+def test_reprocess_old_residue_not_duplicated(spark, tmp_path):
+    """Crash between rename(stage, rp) and rmtree(old): rp already holds
+    the residue AND _old holds the original lines (incl. that residue).
+    The recovery union must DEDUP the raw lines — without it every
+    still-bad line doubles in the rewritten quarantine on each such
+    drain, permanently inflating n_rejects."""
+    base = str(tmp_path)
+    _write_log(base)
+    cfg = _cfg(base, rejects_path=f"{base}/rejects", sink_mode="mor")
+    CDCPipeline(spark, cfg).replay()
+    assert sum(_reasons(spark, f"{base}/rejects").values()) == 3
+    # simulate the crash point: _old = a full copy of the quarantine
+    import shutil
+
+    shutil.copytree(f"{base}/rejects", f"{base}/rejects_old")
+    bm = CDCPipeline(spark, cfg).reprocess_rejects()
+    assert bm is not None and bm.n_rejects == 3  # not 6
+    assert sum(_reasons(spark, f"{base}/rejects").values()) == 3
+    assert not os.path.exists(f"{base}/rejects_old")
+
+
 def test_reprocess_old_dir_union_recovery(spark, tmp_path):
     """A crash between the drain's swap renames leaves <rp>_old; even if a
     normal sync recreates the rejects dir meanwhile, the next drain UNIONS
