@@ -102,8 +102,12 @@ def near_dup_clusters(
                 .groupBy(F.col("v").alias("id"))
                 .agg(F.min("ul").alias("nl"))
             )
+            # the round's OLD label rides along as `_old` so convergence is
+            # detectable from the round's own output — no separate
+            # `new ⋈ labels` shuffle-join per round (VERDICT r4 #3)
             prop = labels.join(nbr, "id", "left").select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
                     "label"
                 ),
@@ -119,20 +123,22 @@ def near_dup_clusters(
                     "label",
                     "left",
                 )
-                .select("id", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
+                .select(
+                    "id",
+                    "_old",
+                    F.coalesce(F.col("ll"), F.col("label")).alias("label"),
+                )
             )
             if checkpoint == "local":
                 new = new.localCheckpoint(eager=True)
             elif checkpoint == "reliable":
                 new = new.checkpoint(eager=True)
-            # labels only decrease: zero strict decreases == fixpoint
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") < F.col("o.label"))
-                .count()
-            )
-            labels = new
+            # labels only decrease: zero strict decreases == fixpoint.  The
+            # count is a filter over the just-materialized checkpoint blocks
+            # (no join, no shuffle); without checkpointing it re-runs the
+            # round's plan — tests-only mode, documented above.
+            changed = new.where(F.col("label") < F.col("_old")).count()
+            labels = new.select("id", "label")
             if changed == 0:
                 break
         else:

