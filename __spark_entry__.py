@@ -540,6 +540,81 @@ def q_docs_dup_incremental(spark, sf_dir):
 _MH_INDEX_CACHE: dict = {}
 
 
+def q_docs_dup_clusters_incremental(spark, sf_dir):
+    """Incremental near-dup CLUSTER maintenance (VERDICT r4 #1 — the last
+    full-corpus recompute in the dedup family): a persisted (doc_id,
+    cluster_id) lake table is seeded from the corpus slice once; the batch
+    slice (new docs + planted dups of corpus docs) folds in by relabeling
+    ONLY the affected subgraph — the batch-touching pairs from the MinHash
+    index plus the members of every existing cluster they touch (the state
+    rows themselves are the star encoding of each old component, so no
+    historical pair set is stored or re-read).  Cross-batch merges happen
+    for real here: the planted dups weld batch ids onto corpus clusters.
+    Output = the full clustering; oracle = recursive-CTE transitive
+    closure over the SAME 4-shingle jaccard pair SQL as
+    docs_dup_incremental, unrestricted (pair completeness at these pinned
+    settings is the parity suite's measured-complete banding argument;
+    CC over equal pair sets is exact).  Pytest additionally proves
+    batch-update == full recompute incl. a two-clusters-merge case
+    (tests/test_ops_incremental.py)."""
+    import tempfile
+
+    from singer_tap_spark.ops.incremental import ClusterIndex, MinHashIndex
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    corpus = d.where(F.col("doc_id") < 100)
+    batch = d.where(F.col("doc_id") >= 100).unionByName(
+        d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + _DOUBLE_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    path = _CC_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        # build once per session: signature index + corpus clustering, and
+        # the batch's pair set persisted to parquet — in production the
+        # dedup stage already lands its pairs in a table (the
+        # run_streaming_dedup shape), so the clusters stage CONSUMES pairs,
+        # it does not recompute them.  Signatures are computed once per
+        # slice and shared between dedup_batch and upsert (same pattern).
+        path = tempfile.mkdtemp(prefix="cc_idx_")
+        mh = MinHashIndex(spark, f"{path}/mh")
+        cc = ClusterIndex(spark, f"{path}/cc")
+        for bid, b in enumerate([corpus, batch]):
+            sig = mh._signatures(b, "text", "doc_id").persist()
+            try:
+                mh.dedup_batch(
+                    b, verify_threshold=0.5, signatures=sig
+                ).select("a", "b").write.mode("overwrite").parquet(
+                    f"{path}/pairs{bid}"
+                )
+                mh.upsert(b, batch_id=bid, signatures=sig)
+            finally:
+                sig.unpersist()
+        cc.update(
+            corpus.select("doc_id"),
+            spark.read.parquet(f"{path}/pairs0"),
+            batch_id=0,
+        )
+        _CC_INDEX_CACHE[sf_dir] = path
+    cc = ClusterIndex(spark, f"{path}/cc")
+    # the amortized production step (idempotent on replay — LWW ties):
+    # fold the increment's persisted pair set into the clustering by
+    # relabeling only the affected subgraph, then read the full state
+    cc.update(
+        batch.select("doc_id"),
+        spark.read.parquet(f"{path}/pairs1"),
+        batch_id=1,
+    )
+    return cc.read_clusters()
+
+
+_CC_INDEX_CACHE: dict = {}
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
@@ -942,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_cluster_best": q_docs_cluster_best,
         "docs_dup_incremental": q_docs_dup_incremental,
+        "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
         "docs_splits_safe": q_docs_splits_safe,
         "emb_ann_incremental": q_emb_ann_incremental,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1812,6 +1888,40 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
               AND (a >= 100 OR b >= 100)
+        """,
+        # incremental cluster maintenance: recursive-CTE closure over the
+        # SAME 4-shingle jaccard pair SQL as docs_dup_incremental,
+        # UNRESTRICTED (the clustering covers corpus + batch + planted);
+        # min reachable id == the persisted min-label state
+        "docs_dup_clusters_incremental": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 150
+            ), docs AS (
+              SELECT doc_id AS id, t FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS id, t FROM base WHERE doc_id < 30
+            ), sh AS (
+              SELECT DISTINCT id, substr(t, i, 4) AS shingle
+              FROM docs, unnest(range(1, greatest(length(t) - 3, 1) + 1)) AS u(i)
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), raw AS (
+              SELECT l.id AS a, r.id AS b, count(*) AS inter
+              FROM sh l JOIN sh r USING (shingle) WHERE l.id < r.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b
+              FROM raw JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+              WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ), edges AS (
+              SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(id, l) AS (
+              SELECT id, id FROM docs
+              UNION
+              SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+            )
+            SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
         """,
         # incremental ANN: exact brute-force top-5 restricted to the batch
         # queries (vec_id in [150, 200)) over the combined corpus

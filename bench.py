@@ -142,6 +142,7 @@ def main() -> None:
         "docs_dup_clusters",
         "docs_cluster_best",
         "docs_dup_incremental",
+        "docs_dup_clusters_incremental",
         "docs_redact",
         "docs_normalize",
         "docs_boilerplate",

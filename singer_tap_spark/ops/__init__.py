@@ -17,6 +17,7 @@ from singer_tap_spark.ops.text import (  # noqa: F401
 )
 from singer_tap_spark.ops.cluster import near_dup_clusters  # noqa: F401
 from singer_tap_spark.ops.incremental import (  # noqa: F401
+    ClusterIndex,
     EmbeddingLSHIndex,
     MinHashIndex,
     SimHashIndex,

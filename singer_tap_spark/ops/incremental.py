@@ -468,6 +468,124 @@ class EmbeddingLSHIndex(_SignatureIndex):
         )
 
 
+class ClusterIndex(_SignatureIndex):
+    """Persisted near-dup CLUSTER state — the incremental form of
+    :func:`singer_tap_spark.ops.cluster.near_dup_clusters` (VERDICT r4 #1,
+    the last full-corpus recompute in the dedup family; the reference's
+    analogue is per-PK destination-side canonicalization,
+    cmd/internal/http_record_writer.go:184-191).
+
+    State: a keyed lake table of ``(doc_id, cluster_id)`` rows where
+    ``cluster_id`` is the MINIMUM member id of the doc's connected near-dup
+    component — exactly ``near_dup_clusters``' output convention.  That
+    convention is the correctness backbone: each stored cluster is fully
+    described by its member rows alone, because the rows ``(id,
+    cluster_id)`` form a STAR graph with the same connectivity as the
+    original pair set, and the hub (``cluster_id``) is itself the
+    component's min id.  No historical pair set is ever stored or re-read.
+
+    :meth:`update` merges a batch's near-dup pairs (the output of the
+    signature indexes' ``dedup_batch`` — every pair has at least one batch
+    side) by relabeling ONLY the affected subgraph:
+
+    1. touched = batch ids ∪ pair endpoints;
+    2. affected clusters = distinct ``cluster_id`` over touched rows of the
+       state (a new pair can merge two existing clusters — both are
+       affected);
+    3. subgraph = all members of affected clusters (star edges to their
+       hub) + touched ids + the new pairs;
+    4. ``near_dup_clusters`` over that bounded subgraph;
+    5. LWW-merge the relabeled rows back (epoch ts, seq = batch_id —
+       replays tie and no-op, same exactly-once shape as the signature
+       indexes).
+
+    Equivalence: a component of the FULL cumulative pair graph either
+    contains a new pair (then all its ids are in the subgraph — via
+    touched ids or via membership in an affected cluster — and min-label
+    over star+new edges equals min over the real component, because star
+    edges preserve connectivity and hubs are already component minima) or
+    contains none (then its rows are untouched and already correct).
+    Pytest-enforced against the full recompute, including the
+    two-clusters-merge case (tests/test_ops_incremental.py).
+
+    Scale shape (100-TB corpus, 1-TB batch): the state is scanned twice
+    (2-column columnar reads — once to find affected clusters, once to
+    pull their members); both joins are against batch-sized frames (AQE
+    broadcasts them), so the state never shuffles; the CC iteration runs
+    on the bounded affected subgraph, not the corpus.  Grow-only:
+    deletions/re-labeled text need a full recompute (documented contract —
+    near-dup clusters only ever merge under accumulation).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16) -> None:
+        super().__init__(spark, path, dict(kind="near_dup_clusters"), n_buckets)
+
+    def read_clusters(self) -> DataFrame:
+        """(doc_id, cluster_id) — the current clustering."""
+        return self.table.read().select("doc_id", "cluster_id")
+
+    def update(
+        self,
+        batch_ids: DataFrame,
+        pairs: DataFrame,
+        batch_id: int = 0,
+        id_col: str = "doc_id",
+        a_col: str = "a",
+        b_col: str = "b",
+        max_rounds: int = 64,
+        checkpoint: str | None = "local",
+    ) -> DataFrame:
+        """Fold a batch (its ids + its batch-touching near-dup pairs) into
+        the persisted clustering; returns the relabeled slice
+        ``(doc_id, cluster_id)`` — every row whose label was (re)computed
+        this update, i.e. the batch ids plus all members of every affected
+        existing cluster."""
+        from singer_tap_spark.ops.cluster import near_dup_clusters
+
+        new_ids = batch_ids.select(F.col(id_col).alias("id")).distinct()
+        # the pair input is typically an EXPENSIVE upstream (a signature
+        # index's dedup_batch plan) consumed several times below (touched,
+        # edges); lazy localCheckpoint materializes it once on first use
+        # and truncates the lineage (CLAUDE.md: quantile_gate precedent)
+        p = pairs.select(
+            F.col(a_col).alias("a"), F.col(b_col).alias("b")
+        ).localCheckpoint(eager=False)
+        touched = (
+            new_ids.unionByName(p.select(F.col("a").alias("id")))
+            .unionByName(p.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        if self.exists():
+            state = self.read_clusters().select(
+                F.col("doc_id").alias("id"), F.col("cluster_id").alias("cid")
+            )
+            affected = (
+                state.join(touched, "id", "left_semi").select("cid").distinct()
+            )
+            members = state.join(affected, "cid", "left_semi")
+            # the state rows ARE the star encoding of each old component
+            star = members.where(F.col("id") != F.col("cid")).select(
+                F.col("id").alias("a"), F.col("cid").alias("b")
+            )
+            nodes = touched.unionByName(members.select("id")).distinct()
+            edges = p.unionByName(star)
+        else:
+            nodes, edges = touched, p
+        labels = near_dup_clusters(
+            nodes,
+            edges,
+            id_col="id",
+            a_col="a",
+            b_col="b",
+            max_rounds=max_rounds,
+            checkpoint=checkpoint,
+            out_col="cluster_id",
+        )
+        out = labels.select(F.col("id").alias("doc_id"), "cluster_id")
+        self._merge(out, batch_id)
+        return out
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     docs_path: str,

@@ -136,3 +136,40 @@ def test_embedding_index_parity_at_driver_settings(spark, sf, tmp_path):
             _brute_topk(emb, k=5).where(F.col("query_id") >= 150).collect()}
     assert got == want
     assert len(got) > 0
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_incremental_cluster_parity_at_driver_settings(spark, sf, tmp_path):
+    """docs_dup_clusters_incremental: seed-then-batch index maintenance at
+    the entry's slices equals near_dup_clusters over the EXACT n-gram
+    jaccard pairs of the combined corpus at EVERY shipped sf — pair
+    completeness (banding) plus subgraph-relabel correctness, enforced
+    end-to-end where the driver can't see."""
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+    from singer_tap_spark.ops.dedup_text import ngram_jaccard_pairs
+    from singer_tap_spark.ops.incremental import ClusterIndex, MinHashIndex
+
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    corpus = d.where(F.col("doc_id") < 100)
+    batch = d.where(F.col("doc_id") >= 100).unionByName(
+        d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    mh = MinHashIndex(spark, str(tmp_path / "mh"))
+    cc = ClusterIndex(spark, str(tmp_path / "cc"))
+    for bid, b in enumerate([corpus, batch]):
+        prs = mh.dedup_batch(b, verify_threshold=0.5).select("a", "b")
+        cc.update(b.select("doc_id"), prs, batch_id=bid)
+        mh.upsert(b, batch_id=bid)
+    got = {(r.doc_id, r.cluster_id) for r in cc.read_clusters().collect()}
+
+    exact = ngram_jaccard_pairs(corpus.unionByName(batch), n=4, threshold=0.5)
+    want = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(
+        corpus.unionByName(batch).select("doc_id"), exact).collect()}
+    assert got == want
+    assert len(got) > 0
