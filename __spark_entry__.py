@@ -342,6 +342,46 @@ def q_media_image_dims(spark, sf_dir):
     )
 
 
+def q_media_video_meta(spark, sf_dir):
+    """Video metadata from MP4/ISO-BMFF container headers (VERDICT r4 #5),
+    oracle-checked as a ROUND TRIP like media_image_dims: each doc_id
+    synthesizes a real minimal MP4 (ftyp + moov[mvhd + trak/tkhd]) with
+    arithmetic dims/duration via hex/unhex — timescale pinned to 1000 so
+    mvhd duration ticks ARE milliseconds — except every 5th doc which gets
+    a non-BMFF payload (the all-None fallback path).  The box-walk parser
+    reads dims/duration back; the oracle recomputes the arithmetic, so the
+    byte-level parse is verified without DuckDB touching binary."""
+    from singer_tap_spark.ops.multimodal import video_meta
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w = 100 + F.col("doc_id") % 97
+    h = 50 + F.col("doc_id") % 53
+    dur = 1000 + F.col("doc_id") % 9000
+    mp4_hex = F.concat(
+        # ftyp: size 16, brand isom, minor 0x200
+        F.lit("000000106674797069736F6D00000200"),
+        # moov: size 216 = 8 + mvhd(108) + trak(100)
+        F.lit("000000D86D6F6F76"),
+        # mvhd v0: ctime/mtime 0, timescale 1000 (0x3E8), duration, then
+        # rate..next_track_id as 80 zero bytes
+        F.lit("0000006C" + "6D766864" + "00" * 12 + "000003E8"),
+        F.lpad(F.hex(dur), 8, "0"),
+        F.lit("00" * 80),
+        # trak(100) > tkhd v0 (92): 72 zero bytes to the 16.16 dims
+        F.lit("00000064" + "7472616B" + "0000005C" + "746B6864"
+              + "00" * 76),
+        F.lpad(F.hex(w), 4, "0"), F.lit("0000"),
+        F.lpad(F.hex(h), 4, "0"), F.lit("0000"),
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("6E6F74206120766964656F"))
+        .otherwise(mp4_hex)
+    )
+    return video_meta(d.withColumn("content", payload)).select(
+        "doc_id", "vid_format", "vid_width", "vid_height", "vid_duration_ms"
+    )
+
+
 def q_docs_boilerplate(spark, sf_dir):
     """CCNet-style boilerplate line removal: every doc gets a planted
     corpus-wide footer line (df = 100% >= the 5% threshold -> removed) and
@@ -1008,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": q_docs_normalize,
         "docs_boilerplate": q_docs_boilerplate,
         "media_image_dims": q_media_image_dims,
+        "media_video_meta": q_media_video_meta,
         "docs_stats": q_docs_stats,
         "docs_preprocess": q_docs_preprocess,
         "docs_eval_sample": q_docs_eval_sample,
@@ -1405,6 +1446,23 @@ def oracle_sql() -> dict[str, str]:
                      AS img_format,
                    CAST(100 + doc_id % 97 AS INT) AS img_width,
                    CAST(50 + doc_id % 53 AS INT) AS img_height
+            FROM documents
+        """,
+        # round-trip identity for the MP4 box walk: synthesized mvhd/tkhd
+        # fields parse back to the same arithmetic (timescale 1000 ->
+        # duration ticks are ms); every 5th doc is a non-BMFF payload ->
+        # all-None fallback
+        "media_video_meta": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'mp4' END
+                     AS vid_format,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE CAST(100 + doc_id % 97 AS INT) END AS vid_width,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE CAST(50 + doc_id % 53 AS INT) END AS vid_height,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE CAST(1000 + doc_id % 9000 AS INT) END
+                     AS vid_duration_ms
             FROM documents
         """,
         # per-line corpus-frequency dedup on the decorated corpus: planted

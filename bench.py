@@ -147,6 +147,7 @@ def main() -> None:
         "docs_normalize",
         "docs_boilerplate",
         "media_image_dims",
+        "media_video_meta",
         "docs_stats",
         "docs_preprocess",
         "docs_eval_sample",

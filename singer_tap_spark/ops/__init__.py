@@ -49,7 +49,7 @@ from singer_tap_spark.ops.curate import (  # noqa: F401
     quantile_gate,
     remove_boilerplate_lines,
 )
-from singer_tap_spark.ops.multimodal import image_dims  # noqa: F401
+from singer_tap_spark.ops.multimodal import image_dims, video_meta  # noqa: F401
 from singer_tap_spark.ops.sample import exact_k_sample, mixture_sample  # noqa: F401
 from singer_tap_spark.ops.text import (  # noqa: F401
     normalize_text,

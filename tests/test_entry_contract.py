@@ -39,6 +39,7 @@ QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
 # round after the driver records them.
 NEW_SINCE_DRIVER_SNAPSHOT: set[str] = {
     "docs_dup_clusters_incremental",  # r5
+    "media_video_meta",  # r5
 }
 
 

@@ -277,3 +277,119 @@ def test_image_dims_header_parsers(spark):
     # narrow plan: no shuffle for a metadata pass
     plan = image_dims(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _box(typ: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    import struct
+
+    if largesize:
+        return struct.pack(">I", 1) + typ + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
+    import struct
+
+    if version == 1:
+        pay = (bytes([1]) + b"\x00" * 3 + struct.pack(">QQ", 0, 0)
+               + struct.pack(">IQ", timescale, duration)
+               + b"\x00" * 80)
+    else:
+        pay = (bytes([0]) + b"\x00" * 3 + struct.pack(">II", 0, 0)
+               + struct.pack(">II", timescale, duration)
+               + b"\x00" * 80)
+    return _box(b"mvhd", pay)
+
+
+def _tkhd(width: int, height: int, version: int = 0) -> bytes:
+    import struct
+
+    fixed = struct.pack(">II", width << 16, height << 16)
+    if version == 1:
+        pay = bytes([1]) + b"\x00" * 3 + b"\x00" * 80 + fixed
+    else:
+        pay = bytes([0]) + b"\x00" * 3 + b"\x00" * 72 + fixed
+    return _box(b"tkhd", pay)
+
+
+def _mp4(timescale=1000, duration=5000, width=320, height=240,
+         mvhd_v=0, tkhd_v=0, extra_trak_first=False, largesize_moov=False):
+    ftyp = _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00")
+    traks = b""
+    if extra_trak_first:  # audio/hint track: 0x0 dims, must be skipped
+        traks += _box(b"trak", _tkhd(0, 0))
+    traks += _box(b"trak", _tkhd(width, height, tkhd_v))
+    moov = _box(b"moov", _mvhd(timescale, duration, mvhd_v) + traks,
+                largesize=largesize_moov)
+    return ftyp + moov
+
+
+def test_video_meta_header_parse():
+    """VERDICT r4 #5: MP4 moov/mvhd + trak/tkhd dims/duration from the
+    container bytes, stdlib struct only — v0 and v1 boxes, largesize,
+    non-video leading tracks, non-ms timescale rounding, and clean
+    all-None fallbacks for garbage/truncated payloads."""
+    from singer_tap_spark.ops.multimodal import _parse_video_meta
+
+    assert _parse_video_meta(_mp4()) == ("mp4", 320, 240, 5000)
+    # 90kHz timescale: 123456 ticks -> 1372ms (rounded)
+    assert _parse_video_meta(_mp4(timescale=90000, duration=123456)) == (
+        "mp4", 320, 240, round(123456 * 1000 / 90000))
+    # version-1 boxes (64-bit times)
+    assert _parse_video_meta(_mp4(mvhd_v=1, tkhd_v=1)) == ("mp4", 320, 240, 5000)
+    # leading audio track (0x0 dims) skipped; largesize moov handled
+    assert _parse_video_meta(
+        _mp4(extra_trak_first=True, largesize_moov=True)
+    ) == ("mp4", 320, 240, 5000)
+    # garbage / truncation / non-BMFF
+    assert _parse_video_meta(None) == (None, None, None, None)
+    assert _parse_video_meta(b"\x00" * 40) == (None, None, None, None)
+    assert _parse_video_meta(_mp4()[:20]) == (None, None, None, None)
+    assert _parse_video_meta(b"RIFF1234AVI LIST") == (None, None, None, None)
+
+
+def test_video_meta_dataframe_and_plan(spark):
+    from singer_tap_spark.ops.multimodal import video_meta
+
+    rows = [(1, bytearray(_mp4(width=101, height=57, duration=777))),
+            (2, bytearray(b"not a video")),
+            (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: (r["vid_format"], r["vid_width"], r["vid_height"],
+                           r["vid_duration_ms"])
+           for r in video_meta(df).collect()}
+    assert out[1] == ("mp4", 101, 57, 777)
+    assert out[2] == (None, None, None, None)
+    assert out[3] == (None, None, None, None)
+    plan = video_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_extract_features_video_routing(spark):
+    """Default stays stub for video rows (no codec in container); a
+    supplied video_decoder routes decodable rows to 'real' with the stub
+    fallback unchanged for undecodable ones."""
+    import numpy as np
+
+    from singer_tap_spark.ops.multimodal import extract_features
+
+    rows = [(1, "video", bytearray(_mp4())),
+            (2, "video", bytearray(b"garbage-payload"))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    default = {r["media_id"]: r["decoder"]
+               for r in extract_features(df, dim=8).collect()}
+    assert default == {1: "stub", 2: "stub"}
+
+    def vdec(b, dim):
+        from singer_tap_spark.ops.multimodal import _parse_video_meta
+
+        fmt, w, h, ms = _parse_video_meta(b)
+        if fmt is None:
+            return None
+        v = np.zeros(dim, dtype=np.float32)
+        v[0] = 1.0
+        return v
+
+    routed = {r["media_id"]: r["decoder"]
+              for r in extract_features(df, dim=8, video_decoder=vdec).collect()}
+    assert routed == {1: "real", 2: "stub"}
