@@ -518,6 +518,38 @@ def q_emb_ann_incremental(spark, sf_dir):
 _EMB_INDEX_CACHE: dict = {}
 
 
+def q_emb_ivf_incremental(spark, sf_dir):
+    """Incremental ANN vs a PERSISTED IVF quantizer (VERDICT r4 #6):
+    k-means runs once at build (corpus slice), centroids land in the index
+    meta and assignments in the keyed lake table; the batch answers top-5
+    by assigning itself against the STORED centroids and probing lists —
+    zero re-training, zero corpus re-assignment.  Pinned probe-all
+    (n_probe == n_centroids == 8) makes the answer EXACT whatever the
+    centroids, so the oracle is the exact brute-force SQL restricted to
+    batch queries (same anchor as ivf_ann/emb_ann_incremental); pytest
+    additionally proves equality with the full-corpus ivf_ann_topk
+    recompute and quantizer persistence across reopen."""
+    import tempfile
+
+    from singer_tap_spark.ops.incremental import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    corpus = emb.where(F.col("vec_id") < 150)
+    batch = emb.where(F.col("vec_id") >= 150)
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_idx_")
+        IVFIndex(spark, path, n_centroids=8).build(corpus, batch_id=0)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    idx = IVFIndex(spark, path)
+    return idx.topk_batch(batch, k=5, n_probe=8).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+_IVF_INDEX_CACHE: dict = {}
+
+
 def q_docs_splits_safe(spark, sf_dir):
     """Contamination-safe train/val/test splits END-TO-END: near-dup pairs
     -> connected components -> md5-interval split on the CLUSTER id, so
@@ -1061,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
         "docs_splits_safe": q_docs_splits_safe,
         "emb_ann_incremental": q_emb_ann_incremental,
+        "emb_ivf_incremental": q_emb_ivf_incremental,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "conversation_export": q_conversation_export,
@@ -1984,6 +2017,32 @@ def oracle_sql() -> dict[str, str]:
         # incremental ANN: exact brute-force top-5 restricted to the batch
         # queries (vec_id in [150, 200)) over the combined corpus
         "emb_ann_incremental": """
+            WITH u AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings WHERE vec_id < 200
+            ), unit AS (
+              SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM u
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, len(q.uv) + 1),
+                      i -> q.uv[i] * c.uv[i])), 6) AS cos_sim
+              FROM unit q JOIN unit c
+                ON q.vec_id >= 150 AND c.vec_id <> q.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+              ) AS rank FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # incremental IVF: probe-all over the persisted quantizer is EXACT,
+        # so the oracle is the same batch-query brute-force SQL as
+        # emb_ann_incremental (two different engines, one exact answer)
+        "emb_ivf_incremental": """
             WITH u AS (
               SELECT vec_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

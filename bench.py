@@ -158,6 +158,7 @@ def main() -> None:
         "docs_mixture",
         "docs_chunks",
         "emb_ann_incremental",
+        "emb_ivf_incremental",
         "conversation_prefix_dedup",
         "docs_minhash_lsh",
         "docs_simhash_dedup",

@@ -19,6 +19,7 @@ from singer_tap_spark.ops.cluster import near_dup_clusters  # noqa: F401
 from singer_tap_spark.ops.incremental import (  # noqa: F401
     ClusterIndex,
     EmbeddingLSHIndex,
+    IVFIndex,
     MinHashIndex,
     SimHashIndex,
     run_streaming_dedup,

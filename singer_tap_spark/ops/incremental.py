@@ -468,6 +468,199 @@ class EmbeddingLSHIndex(_SignatureIndex):
         )
 
 
+class IVFIndex(_SignatureIndex):
+    """Persisted IVF quantizer + inverted-list assignments (VERDICT r4 #6)
+    — the incremental form of
+    :func:`singer_tap_spark.ops.similarity.ivf_ann_topk`: k-means runs
+    ONCE at :meth:`build` (bounded deterministic sample, adaptive
+    ``max(8, isqrt(n))`` default), the centroid table lands in
+    ``_index.json`` (byte-capped by the same 256 MB sample bound — k x dim
+    doubles), and per-vector rows ``(vec_id, unit array<double>, cid
+    int)`` persist in the keyed lake table.  :meth:`topk_batch` then
+    answers a NEW batch's queries with zero re-training and zero corpus
+    re-assignment: assign the batch (one Arrow GEMV pass against the
+    stored centroids), probe ``n_probe`` lists via the same centroid
+    equi-join as the full-corpus op.
+
+    The quantizer is PINNED at build — new vectors file under the nearest
+    existing centroid (standard IVF practice; FAISS `add` after `train`).
+    Under heavy distribution drift rebuild the index; assignments are a
+    pure function of (vector, centroids), so a rebuild is one scan, and
+    the LWW merge makes replayed upserts no-ops either way."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_centroids: int | None = None,
+        n_iter: int = 4,
+        n_buckets: int = 16,
+    ) -> None:
+        import numpy as np
+
+        super().__init__(spark, path, dict(kind="ivf", n_iter=n_iter), n_buckets)
+        self.n_iter = n_iter
+        self._requested_centroids = n_centroids
+        self.centroids = None
+        if os.path.exists(self._meta_file):
+            with open(self._meta_file) as f:
+                meta = json.load(f)
+            cents = meta.get("centroids")
+            if cents:
+                if n_centroids is not None and n_centroids != len(cents):
+                    raise ValueError(
+                        f"IVFIndex at {self.path} was built with "
+                        f"{len(cents)} centroids, opened with "
+                        f"{n_centroids} — quantizer spaces are incompatible"
+                    )
+                self.centroids = np.array(cents, dtype=np.float64)
+
+    def _units(self, vecs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        from singer_tap_spark.ops.similarity import with_unit_vec
+
+        return with_unit_vec(vecs, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_unit").alias("v")
+        )
+
+    def build(
+        self,
+        vecs: DataFrame,
+        batch_id: int = 0,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Train the quantizer on ``vecs`` (skipped when centroids already
+        exist — reopening an index never re-trains) and upsert their
+        assignments.  Centroids are written to ``_index.json`` BEFORE the
+        first data commit (same crash-ordering argument as
+        :meth:`_SignatureIndex._merge`)."""
+        import math
+
+        import numpy as np
+
+        from singer_tap_spark.ops.similarity import _kmeans_centroids
+
+        u = self._units(vecs, vec_col, id_col)
+        if self.centroids is None:
+            k = self._requested_centroids
+            if k is None:
+                k = max(8, math.isqrt(u.count()))
+            cents = _kmeans_centroids(u, k, self.n_iter)
+            if not cents:
+                raise ValueError("IVFIndex.build on an empty vector table")
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"{self._meta_file}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    dict(
+                        self._params,
+                        n_buckets=self.table.n_buckets,
+                        centroids=cents,
+                    ),
+                    f,
+                )
+            os.replace(tmp, self._meta_file)
+            self.centroids = np.array(cents, dtype=np.float64)
+        self.upsert(vecs, batch_id=batch_id, vec_col=vec_col, id_col=id_col)
+
+    def upsert(
+        self,
+        vecs: DataFrame,
+        batch_id: int = 0,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Assign vectors to their nearest stored centroid (Arrow GEMV,
+        batch-shape-independent) and LWW-merge ``(vec_id, unit, cid)``."""
+        from singer_tap_spark.ops.similarity import _assign_udf
+
+        if self.centroids is None:
+            raise ValueError("IVFIndex.upsert before build (no centroids)")
+        u = self._units(vecs, vec_col, id_col)
+        rows = u.select(
+            F.col("id").alias("doc_id"),
+            F.col("v").alias("unit"),
+            _assign_udf(self.centroids)(F.col("v")).alias("cid"),
+        )
+        self._merge(rows, batch_id)
+
+    def read_assignments(self) -> DataFrame:
+        """(id, v, c) — the current inverted lists."""
+        return self.table.read().select(
+            F.col("doc_id").alias("id"),
+            F.col("unit").alias("v"),
+            F.col("cid").alias("c"),
+        )
+
+    def topk_batch(
+        self,
+        batch: DataFrame,
+        k: int = 5,
+        n_probe: int = 2,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        vectorized_scoring: bool = False,
+    ) -> DataFrame:
+        """Exact-cosine top-k of each BATCH vector over the probed lists of
+        (index ∪ batch) — identical join shape, scoring, and tie-breaks to
+        ``ivf_ann_topk`` on the combined corpus, restricted to batch
+        queries, with the quantizer loaded instead of re-trained.  At
+        ``n_probe == n_centroids`` (probe-all) the result is EXACT.
+        Output: (query_id, neighbor_id, cos_sim, rank)."""
+        from pyspark.sql import Window
+
+        from singer_tap_spark.ops.similarity import (
+            _assign_udf,
+            _dot,
+            _pair_dot_udf,
+            _probes_udf,
+        )
+
+        if self.centroids is None:
+            raise ValueError("IVFIndex.topk_batch before build (no centroids)")
+        u_b = self._units(batch, vec_col, id_col)
+        b_lists = u_b.select(
+            "id", "v", _assign_udf(self.centroids)(F.col("v")).alias("c")
+        )
+        i_lists = (
+            self.read_assignments().join(
+                u_b.select("id"), "id", "left_anti"
+            )  # batch rows win for re-ingested ids (new vector, new list)
+            if self.exists()
+            else b_lists.limit(0)
+        )
+        lists = i_lists.unionByName(b_lists)
+        probes = u_b.select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                _probes_udf(self.centroids, n_probe)(F.col("v"))
+            ).alias("c"),
+        )
+        score = (
+            _pair_dot_udf()(F.col("qv"), F.col("v"))
+            if vectorized_scoring
+            else F.round(_dot("qv", "v"), 6)
+        )
+        scored = (
+            probes.join(lists, "c")
+            .where(F.col("query_id") != F.col("id"))
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                score.alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
+
+
 class ClusterIndex(_SignatureIndex):
     """Persisted near-dup CLUSTER state — the incremental form of
     :func:`singer_tap_spark.ops.cluster.near_dup_clusters` (VERDICT r4 #1,

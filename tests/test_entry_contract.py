@@ -40,6 +40,7 @@ QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
 NEW_SINCE_DRIVER_SNAPSHOT: set[str] = {
     "docs_dup_clusters_incremental",  # r5
     "media_video_meta",  # r5
+    "emb_ivf_incremental",  # r5
 }
 
 
