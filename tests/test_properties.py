@@ -180,3 +180,44 @@ def test_near_dup_clusters_matches_union_find(spark, edges):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     assert got == {i: find(i) for i in ids}
+
+
+@given(
+    st.integers(2, 120),
+    st.lists(
+        st.tuples(st.integers(0, 119), st.integers(0, 119)), max_size=8
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_near_dup_clusters_chain_case(spark, chain_len, extra):
+    """VERDICT r4 #7 (hypothesis gate, chain case): a path graph is the
+    worst case for label propagation (diameter = n-1); with random extra
+    chords welded on, labels must still match union-find AND converge in
+    O(log n) rounds (pointer doubling), not O(diameter)."""
+    import math
+
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+
+    ids = list(range(chain_len))
+    pairs = [(i, i + 1) for i in range(chain_len - 1)] + [
+        (a, b) for a, b in extra if a != b and a < chain_len and b < chain_len
+    ]
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    out = near_dup_clusters(idf, pdf)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert out._cc_rounds <= math.ceil(math.log2(chain_len)) + 4
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert got == {i: find(i) for i in ids}
