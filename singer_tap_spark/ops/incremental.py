@@ -790,6 +790,7 @@ def run_streaming_dedup(
     verify_threshold: float = 0.5,
     max_files_per_trigger: int = 64,
     available_now: bool = True,
+    cluster_index: "ClusterIndex | None" = None,
 ) -> None:
     """Streaming corpus dedup — the CDC half and the ops half composed:
     tail a parquet document stream; per microbatch, near-dup pairs against
@@ -806,7 +807,15 @@ def run_streaming_dedup(
     the ``batch=N`` overwrite plus the LWW signature merge are both
     idempotent.  Union of all batch outputs over a stream == the one-shot
     ``minhash_lsh_candidates`` over the final corpus (pytest-enforced).
-    """
+
+    ``cluster_index``: optionally maintain a :class:`ClusterIndex` in the
+    same microbatch — each batch's pair set folds into the persisted
+    clustering (affected-subgraph relabel), so the stream's end state IS
+    the full near-dup clustering of everything seen (pytest: stream ==
+    one-shot ``near_dup_clusters`` over the final corpus).  The replay
+    argument extends: a replayed batch's relabel runs against state that
+    already contains its pairs, recomputes the identical labels, and the
+    LWW merge no-ops — still exactly-once with no marker."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         # signatures computed ONCE per microbatch (the module's own scale
@@ -823,6 +832,14 @@ def run_streaming_dedup(
             )
             pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
             index.upsert(batch_df, batch_id=batch_id, signatures=sig)
+            if cluster_index is not None:
+                # consume the just-committed pair partition (cheap scan)
+                # rather than re-running the discovery plan a third time
+                cluster_index.update(
+                    batch_df.select(F.col(id_col).alias("doc_id")),
+                    spark.read.parquet(f"{pairs_path}/batch={batch_id}"),
+                    batch_id=batch_id,
+                )
         finally:
             sig.unpersist()
 

@@ -493,3 +493,53 @@ def test_ivf_index_upsert_idempotent_and_reingest(spark, tmp_path):
     dup = (out.groupBy("query_id", "neighbor_id").count()
            .where(F.col("count") > 1).count())
     assert dup == 0
+
+
+def test_streaming_dedup_with_cluster_maintenance(spark, tmp_path):
+    """run_streaming_dedup(cluster_index=...): the stream's end state must
+    equal near_dup_clusters over the one-shot full-corpus pair set, and a
+    forced replay of the last microbatch must leave the clustering
+    byte-identical (the no-marker exactly-once argument extended to the
+    cluster fold)."""
+    import os
+
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        MinHashIndex,
+        run_streaming_dedup,
+    )
+
+    base = str(tmp_path)
+    d = _docs(spark).where(F.col("doc_id") < 100)
+    d.repartition(3).write.parquet(f"{base}/docs")
+    idx = MinHashIndex(spark, f"{base}/idx")
+    cc = ClusterIndex(spark, f"{base}/cc")
+    run_streaming_dedup(
+        spark, f"{base}/docs", idx, f"{base}/pairs", f"{base}/ckpt",
+        max_files_per_trigger=1, cluster_index=cc,
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in cc.read_clusters().collect()}
+    want = {(r["doc_id"], r["cluster_id"]) for r in near_dup_clusters(
+        d.select("doc_id"),
+        minhash_lsh_candidates(d, verify_threshold=0.5).select("a", "b"),
+    ).collect()}
+    assert got == want
+    assert len(got) == d.count()
+
+    # forced replay of the last batch: remove its checkpoint commit
+    last = max(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(f"{base}/pairs")
+        if e.startswith("batch=")
+    )
+    os.remove(f"{base}/ckpt/commits/{last}")
+    crc = f"{base}/ckpt/commits/.{last}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_streaming_dedup(
+        spark, f"{base}/docs", idx, f"{base}/pairs", f"{base}/ckpt",
+        max_files_per_trigger=1, cluster_index=cc,
+    )
+    after = {(r["doc_id"], r["cluster_id"]) for r in cc.read_clusters().collect()}
+    assert after == got
