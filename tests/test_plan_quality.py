@@ -235,6 +235,23 @@ def test_adaptive_defaults_launch_single_prejob(spark):
     ) <= lsh_default + 2
 
 
+def test_ivf_index_probe_plan_no_cartesian(spark, tmp_path):
+    """IVFIndex.topk_batch must stay an equi-join on the centroid id
+    (inverted-list probe) — no cartesian/nested-loop fallback anywhere in
+    the plan, the property that keeps probe cost ~n*probe/sqrt(n) instead
+    of quadratic."""
+    from pyspark.sql import functions as F
+
+    from singer_tap_spark.ops.incremental import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=8)
+    idx.build(emb.where(F.col("vec_id") < 80), batch_id=0)
+    plan = _plan(idx.topk_batch(emb.where(F.col("vec_id") >= 80), k=5, n_probe=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_cc_convergence_check_no_shuffle_join(spark):
     """VERDICT r4 #3: near_dup_clusters' per-round convergence check must
     be a filter-count over the round's own checkpointed output (the old
