@@ -180,3 +180,91 @@ def test_sigkill_chaos_delta_feed(spark, tmp_path):
     assert p2.returncode == 0
     after = {e for e in os.listdir(f"{base}/feed") if e.startswith("batch=")}
     assert {e for e in before if e.startswith("batch=")} == after
+
+
+def test_sigkill_chaos_streaming_dedup_clusters(spark, tmp_path):
+    """The ops streaming half (run_streaming_dedup + ClusterIndex fold)
+    under genuine kill -9 — the surface with NO marker protocol at all
+    (every write idempotent by construction): after two mid-stream kills
+    and a run to completion, the pair union, the signature index, and the
+    persisted clustering must all equal the one-shot recompute, and a
+    further run must emit no new batch partitions."""
+    from pyspark.sql import functions as F
+
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+    from singer_tap_spark.ops.dedup_text import minhash_lsh_candidates
+    from singer_tap_spark.ops.incremental import ClusterIndex, MinHashIndex
+
+    base = str(tmp_path)
+    d = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    d.repartition(10).write.parquet(f"{base}/docs")
+
+    script = (
+        "import os\n"
+        "os.environ['SPARK_GRAFT_CPUS'] = '4'\n"
+        "import singer_tap_spark as sts\n"
+        "from singer_tap_spark.ops.incremental import (\n"
+        "    ClusterIndex, MinHashIndex, run_streaming_dedup)\n"
+        "spark = sts.get_spark('chaos_dedup')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"idx = MinHashIndex(spark, '{base}/idx')\n"
+        f"cc = ClusterIndex(spark, '{base}/cc')\n"
+        f"run_streaming_dedup(spark, '{base}/docs', idx, '{base}/pairs',\n"
+        f"                    '{base}/ckpt', max_files_per_trigger=1,\n"
+        "                    cluster_index=cc)\n"
+        "print('DEDUP-DONE')\n"
+    )
+
+    def spawn():
+        env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+        return subprocess.Popen(
+            [sys.executable, "-c", script], cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+
+    killed_mid_stream = 0
+    for extra in (1.0, 2.5):
+        p = spawn()
+        deadline = time.monotonic() + 120
+        while (time.monotonic() < deadline and p.poll() is None
+               and not os.path.exists(f"{base}/pairs")):
+            time.sleep(0.5)
+        time.sleep(extra)
+        if p.poll() is None:
+            progressed = os.path.exists(f"{base}/pairs")
+            p.send_signal(signal.SIGKILL)
+            p.wait()
+            if progressed:
+                killed_mid_stream += 1
+    assert killed_mid_stream >= 1, (
+        "chaos degenerated: no kill landed after first pair commit"
+    )
+    p = spawn()
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0 and b"DEDUP-DONE" in out, out[-2000:]
+
+    # equality with the one-shot recompute on every persisted artifact
+    idx = MinHashIndex(spark, f"{base}/idx")
+    cc = ClusterIndex(spark, f"{base}/cc")
+    got_pairs = {(r["a"], r["b"]) for r in
+                 spark.read.parquet(f"{base}/pairs").select("a", "b").collect()}
+    want_pairs_df = minhash_lsh_candidates(d, verify_threshold=0.5)
+    want_pairs = {(r["a"], r["b"]) for r in want_pairs_df.select("a", "b").collect()}
+    assert got_pairs == want_pairs
+    assert idx.read_signatures().count() == d.count()
+    got_cc = {(r["doc_id"], r["cluster_id"]) for r in cc.read_clusters().collect()}
+    want_cc = {(r["doc_id"], r["cluster_id"]) for r in near_dup_clusters(
+        d.select("doc_id"), want_pairs_df.select("a", "b")).collect()}
+    assert got_cc == want_cc
+
+    # convergence: a further run emits no new batch partitions
+    before = {e for e in os.listdir(f"{base}/pairs") if e.startswith("batch=")}
+    p2 = spawn()
+    out2, _ = p2.communicate(timeout=600)
+    assert p2.returncode == 0 and b"DEDUP-DONE" in out2
+    after = {e for e in os.listdir(f"{base}/pairs") if e.startswith("batch=")}
+    assert before == after
