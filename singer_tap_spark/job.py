@@ -218,6 +218,43 @@ def _bench_replay(args) -> None:
     print(json.dumps(out))
 
 
+def _dedup_stream(args) -> None:
+    """spark-submit surface for the ops streaming half: tail a parquet
+    document stream, dedup every arriving doc against the persisted
+    MinHash index, optionally fold each batch's pairs into the persisted
+    near-dup clustering — see run_streaming_dedup for the exactly-once
+    argument (no marker; every write idempotent, chaos-tested)."""
+    from singer_tap_spark import get_spark
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        MinHashIndex,
+        run_streaming_dedup,
+    )
+
+    spark = get_spark("singer-tap-spark-dedup-stream")
+    idx = MinHashIndex(spark, args.index)
+    cc = ClusterIndex(spark, args.clusters) if args.clusters else None
+    run_streaming_dedup(
+        spark,
+        args.docs,
+        idx,
+        args.pairs,
+        args.checkpoint,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        verify_threshold=args.verify_threshold,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=not args.follow,
+        cluster_index=cc,
+    )
+    n_pairs = spark.read.parquet(args.pairs).count()
+    print(json.dumps({
+        "pairs_total": n_pairs,
+        "index_docs": idx.read_signatures().count(),
+        "clusters": (cc.read_clusters().count() if cc is not None else None),
+    }))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="singer-tap-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -370,6 +407,27 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--workdir", default="/tmp/singer_tap_spark_bench")
     b.add_argument("--keep", action="store_true")
     b.set_defaults(fn=_bench_replay)
+
+    ds = sub.add_parser(
+        "dedup-stream",
+        help="streaming corpus dedup vs a persisted MinHash index "
+             "(optionally maintaining the near-dup cluster index)",
+    )
+    ds.add_argument("--docs", required=True, help="parquet document stream dir")
+    ds.add_argument("--index", required=True, help="MinHash index path")
+    ds.add_argument("--pairs", required=True, help="pair output dir (batch=N)")
+    ds.add_argument("--checkpoint", required=True)
+    ds.add_argument("--clusters", default=None,
+                    help="ClusterIndex path: fold each batch's pairs into "
+                         "the persisted near-dup clustering")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--verify-threshold", type=float, default=0.5)
+    ds.add_argument("--max-files-per-trigger", type=int, default=64)
+    ds.add_argument("--follow", action="store_true",
+                    help="keep tailing instead of drain-and-stop "
+                         "(AvailableNow)")
+    ds.set_defaults(fn=_dedup_stream)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -255,3 +255,42 @@ def test_cli_rejects_and_reprocess(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["applied_events"] == 0  # still broken
     assert spark.read.parquet(f"{base}/rejects").count() == 1
+
+
+def test_cli_dedup_stream(spark, tmp_path, capsys):
+    """dedup-stream subcommand: drains the doc stream into pairs + index
+    (+ clusters), idempotent on rerun, counts surfaced as JSON."""
+    base = str(tmp_path)
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+    d.repartition(2).write.parquet(f"{base}/docs")
+    argv = [
+        "dedup-stream", "--docs", f"{base}/docs", "--index", f"{base}/idx",
+        "--pairs", f"{base}/pairs", "--checkpoint", f"{base}/ckpt",
+        "--clusters", f"{base}/cc", "--max-files-per-trigger", "1",
+    ]
+    main(argv)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index_docs"] == 60
+    assert out["clusters"] == 60
+    assert out["pairs_total"] >= 0
+
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+    from singer_tap_spark.ops.dedup_text import minhash_lsh_candidates
+    from singer_tap_spark.ops.incremental import ClusterIndex
+
+    want = {(r["doc_id"], r["cluster_id"]) for r in near_dup_clusters(
+        d.select("doc_id"),
+        minhash_lsh_candidates(d, verify_threshold=0.5).select("a", "b"),
+    ).collect()}
+    cc = ClusterIndex(spark, f"{base}/cc")
+    assert {(r["doc_id"], r["cluster_id"])
+            for r in cc.read_clusters().collect()} == want
+
+    # rerun: nothing new to process, state unchanged
+    main(argv)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == out
