@@ -353,10 +353,14 @@ def _parse_video_meta(
                     duration_ms = int(round(duration * 1000 / timescale))
             elif ctyp == b"trak":
                 for ttyp, tpay, tend in _walk_boxes(b, cpay, cend):
-                    if ttyp != b"tkhd":
+                    if ttyp != b"tkhd" or tend - tpay < 1:
                         continue
                     ver = b[tpay]
-                    off = tpay + (84 if ver == 1 else 76)
+                    # dims sit after ver/flags(4) + times/track/reserved/
+                    # duration (32 in v1: two u64 times + u64 duration;
+                    # 20 in v0) + reserved/layer/alt/volume/reserved(16)
+                    # + matrix(36) = 88 (v1) / 76 (v0)
+                    off = tpay + (88 if ver == 1 else 76)
                     if tend - off < 8:
                         continue
                     w_fx, h_fx = struct.unpack(">II", b[off : off + 8])

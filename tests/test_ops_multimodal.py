@@ -306,7 +306,9 @@ def _tkhd(width: int, height: int, version: int = 0) -> bytes:
 
     fixed = struct.pack(">II", width << 16, height << 16)
     if version == 1:
-        pay = bytes([1]) + b"\x00" * 3 + b"\x00" * 80 + fixed
+        # v1 spec layout: ctime(8) mtime(8) track(4) res(4) duration(8)
+        # + res(8) layer(2) alt(2) vol(2) res(2) + matrix(36) = 84 bytes
+        pay = bytes([1]) + b"\x00" * 3 + b"\x00" * 84 + fixed
     else:
         pay = bytes([0]) + b"\x00" * 3 + b"\x00" * 72 + fixed
     return _box(b"tkhd", pay)
@@ -341,6 +343,12 @@ def test_video_meta_header_parse():
     assert _parse_video_meta(
         _mp4(extra_trak_first=True, largesize_moov=True)
     ) == ("mp4", 320, 240, 5000)
+    # zero-payload tkhd ending exactly at the buffer end: no IndexError,
+    # duration still parses, dims fall back to None (review finding)
+    ftyp = _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00")
+    hollow = ftyp + _box(b"moov", _mvhd(1000, 5000)
+                         + _box(b"trak", _box(b"tkhd", b"")))
+    assert _parse_video_meta(hollow) == ("mp4", None, None, 5000)
     # garbage / truncation / non-BMFF
     assert _parse_video_meta(None) == (None, None, None, None)
     assert _parse_video_meta(b"\x00" * 40) == (None, None, None, None)
