@@ -221,3 +221,50 @@ def test_near_dup_clusters_chain_case(spark, chain_len, extra):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     assert got == {i: find(i) for i in ids}
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 29), st.integers(0, 29)), max_size=6
+        ),
+        min_size=1, max_size=3,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_cluster_index_random_batches_match_union_find(spark, tmp_path_factory, batches):
+    """ClusterIndex under arbitrary incremental edge batches (empty
+    batches, pairs among already-indexed ids, repeated merges, self-loops
+    dropped): after every update the persisted state must equal
+    driver-side union-find over the cumulative graph."""
+    from singer_tap_spark.ops.incremental import ClusterIndex
+
+    base = tmp_path_factory.mktemp("ccprop")
+    idx = ClusterIndex(spark, str(base / "cc"))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for bid, edges in enumerate(batches):
+        pairs = [(a, b) for a, b in edges if a != b]
+        ids = sorted({i for e in pairs for i in e} | {30 + bid})
+        idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        pdf = (
+            spark.createDataFrame(pairs, "a long, b long")
+            if pairs
+            else spark.createDataFrame([], "a long, b long")
+        )
+        idx.update(idf, pdf, batch_id=bid)
+        for i in ids:
+            parent.setdefault(i, i)
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in idx.read_clusters().collect()}
+        assert got == {i: find(i) for i in parent}, f"batch {bid}"
