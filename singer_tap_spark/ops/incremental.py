@@ -776,6 +776,9 @@ class ClusterIndex(_SignatureIndex):
         )
         out = labels.select(F.col("id").alias("doc_id"), "cluster_id")
         self._merge(out, batch_id)
+        # surface the subgraph's CC round count for diagnostics (star
+        # encoding keeps it O(1) regardless of the original diameter)
+        out._cc_rounds = labels._cc_rounds
         return out
 
 
