@@ -165,17 +165,25 @@ class ParquetLakeTable(LakeTable):
     def schema(self) -> T.StructType:
         return self._load_schema()
 
-    def _bucket_expr(self) -> F.Column:
-        return F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets)).cast(
-            "int"
-        )
+    def _bucket_expr(self, col: F.Column | None = None) -> F.Column:
+        """Bucket id of ``col`` (default: this table's bucket key) — callers
+        probing with a differently-named key column pass it explicitly so
+        the hash matches the storage layout exactly."""
+        key = F.col(self.bucket_key) if col is None else col
+        return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
 
     # -- reads ---------------------------------------------------------------
-    def read(self) -> DataFrame:
-        """Current table state (without sink-metadata columns)."""
-        return self.read_internal().drop(SEQ_COL)
+    def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
+        """Current table state (without sink-metadata columns).
+        ``buckets``: restrict to these bucket partitions (hive partition
+        pruning at the scan).  Correct for any per-key question: a key's
+        entire history lives in one bucket, so the pruned LWW resolve is
+        identical to the full one restricted to those buckets."""
+        return self.read_internal(buckets=buckets).drop(SEQ_COL)
 
-    def read_internal(self, keep_op: bool = False) -> DataFrame:
+    def read_internal(
+        self, keep_op: bool = False, buckets: Sequence[int] | None = None
+    ) -> DataFrame:
         """Resolved state incl. ``_seq``.  ``keep_op=True`` (mor only) keeps
         the ``_op`` column and DELETE winners — tombstones included — for
         maintenance jobs that must preserve the LWW guard (compaction with
@@ -186,35 +194,33 @@ class ParquetLakeTable(LakeTable):
         schema = self._load_schema()
         base = None
         if os.path.exists(self._data):
-            base = (
-                self.spark.read.schema(
-                    T.StructType(
-                        schema.fields
-                        + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
-                    )
+            base = self.spark.read.schema(
+                T.StructType(
+                    schema.fields
+                    + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
                 )
-                .parquet(self._data)
-                .drop(BUCKET_COL)
-            )
+            ).parquet(self._data)
+            if buckets is not None:
+                base = base.where(F.col(BUCKET_COL).isin(list(buckets)))
+            base = base.drop(BUCKET_COL)
         if self.mode == "cow" or not os.path.exists(self._delta):
             if base is None:
                 raise FileNotFoundError(f"lake table has no data: {self.path}")
             return base.withColumn(OP_COL, F.lit("STORED")) if keep_op else base
         # merge-on-read: resolve LWW over base (already resolved, acts as
         # op=STORED) + appended delta events (carry their _op incl DELETE)
-        delta = (
-            self.spark.read.schema(
-                T.StructType(
-                    schema.fields
-                    + [
-                        T.StructField(OP_COL, T.StringType(), True),
-                        T.StructField(BUCKET_COL, T.IntegerType(), True),
-                    ]
-                )
+        delta = self.spark.read.schema(
+            T.StructType(
+                schema.fields
+                + [
+                    T.StructField(OP_COL, T.StringType(), True),
+                    T.StructField(BUCKET_COL, T.IntegerType(), True),
+                ]
             )
-            .parquet(self._delta)
-            .drop(BUCKET_COL)
-        )
+        ).parquet(self._delta)
+        if buckets is not None:
+            delta = delta.where(F.col(BUCKET_COL).isin(list(buckets)))
+        delta = delta.drop(BUCKET_COL)
         both = delta if base is None else base.withColumn(
             OP_COL, F.lit("STORED")
         ).unionByName(delta)

@@ -713,9 +713,11 @@ class ClusterIndex(_SignatureIndex):
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16) -> None:
         super().__init__(spark, path, dict(kind="near_dup_clusters"), n_buckets)
 
-    def read_clusters(self) -> DataFrame:
-        """(doc_id, cluster_id) — the current clustering."""
-        return self.table.read().select("doc_id", "cluster_id")
+    def read_clusters(self, buckets=None) -> DataFrame:
+        """(doc_id, cluster_id) — the current clustering.  ``buckets``:
+        restrict to those bucket partitions (per-doc_id questions only —
+        a CLUSTER's members span buckets)."""
+        return self.table.read(buckets=buckets).select("doc_id", "cluster_id")
 
     def update(
         self,
@@ -749,11 +751,27 @@ class ClusterIndex(_SignatureIndex):
             .distinct()
         )
         if self.exists():
-            state = self.read_clusters().select(
+            # the touched-id lookup only needs the buckets the batch hits:
+            # collect their ids (bounded by n_buckets — the merge path's
+            # own pruning pattern, lake.py merge) and prune that scan.
+            # The MEMBERS scan below stays full: a cluster's members span
+            # buckets (bucketed by doc_id, not cluster_id).
+            tb = [
+                r[0]
+                for r in touched.select(
+                    self.table._bucket_expr(F.col("id")).alias("b")
+                ).distinct().collect()
+            ]
+            state_touch = self.read_clusters(buckets=tb).select(
                 F.col("doc_id").alias("id"), F.col("cluster_id").alias("cid")
             )
             affected = (
-                state.join(touched, "id", "left_semi").select("cid").distinct()
+                state_touch.join(touched, "id", "left_semi")
+                .select("cid")
+                .distinct()
+            )
+            state = self.read_clusters().select(
+                F.col("doc_id").alias("id"), F.col("cluster_id").alias("cid")
             )
             members = state.join(affected, "cid", "left_semi")
             # the state rows ARE the star encoding of each old component
