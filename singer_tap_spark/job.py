@@ -311,7 +311,8 @@ def main(argv: list[str] | None = None) -> None:
         "--source-format", default=None, metavar="FMT",
         help="pluggable streaming source: route the stream through "
              "readStream.format(FMT) (e.g. kafka — cluster-only; file "
-             "formats tested locally).  Default: the native file tail",
+             "formats and the in-repo cdc_archive_tail Python source "
+             "tested locally).  Default: the native file tail",
     )
     s.add_argument(
         "--source-options", default=None, metavar="JSON",

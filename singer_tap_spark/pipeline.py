@@ -733,9 +733,18 @@ class CDCPipeline:
         mft = str(self.cfg.max_files_per_trigger)
         if self.cfg.source_format is not None:
             fmt = self.cfg.source_format
+            if fmt == "cdc_archive_tail":
+                # in-repo Python DataSource (pysource.py): register on
+                # first use and point it at the changelog dir like a file
+                # source — the locally-runnable non-file connector
+                from singer_tap_spark import pysource
+
+                pysource.register(self.spark)
             reader = self.spark.readStream.format(fmt)
             file_formats = ("parquet", "json", "csv", "text", "orc", "avro")
-            if fmt in file_formats:
+            if fmt == "cdc_archive_tail":
+                reader = reader.option("path", self.cfg.changelog_path)
+            elif fmt in file_formats:
                 reader = reader.option("maxFilesPerTrigger", mft)
                 if fmt in ("parquet", "orc"):
                     # schema from the log's own footers (one driver pass)
