@@ -113,6 +113,34 @@ class _SignatureIndex:
             batch_id=batch_id,
         )
 
+    def delete(
+        self, ids: DataFrame, batch_id: int = 0, id_col: str = "doc_id"
+    ) -> None:
+        """CDC-DELETE the given doc_ids from the index state: LWW tombstone
+        rows (epoch ts, seq = ``batch_id``).  Same sequence contract as
+        :meth:`_merge` — ``batch_id`` must ADVANCE past the rows' last
+        write to take effect (a replayed delete ties and no-ops; an id
+        re-ingested at a later batch_id recreates its row).
+
+        A deleted doc's signature must not survive: a ghost row would keep
+        generating candidate pairs against text that no longer exists,
+        diverging from the full recompute over the remaining corpus (the
+        same reason :meth:`MinHashIndex.dedup_batch` anti-joins re-ingested
+        ids off the index side before banding)."""
+        if not self.exists():
+            return
+        self.table.merge(
+            ids.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .select(
+                "doc_id",
+                F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts"),
+                F.lit(batch_id).cast("long").alias("seq"),
+                F.lit("DELETE").alias("op"),
+            ),
+            batch_id=batch_id,
+        )
+
 
 class MinHashIndex(_SignatureIndex):
     """Persisted MinHash signature index (Jaccard near-dup flavor)."""
@@ -218,6 +246,36 @@ class MinHashIndex(_SignatureIndex):
             est_margin,
         )
 
+    def pairs_among(
+        self,
+        ids: DataFrame,
+        id_col: str = "doc_id",
+        verify_threshold: float | None = 0.5,
+        est_margin: float = 0.25,
+    ) -> DataFrame:
+        """Near-dup pairs AMONG the given doc_ids, from stored index state
+        alone — banding over stored minhash signatures, exact-Jaccard
+        verify over stored shingle arrays; no document text needed.
+
+        Identical math to ``minhash_lsh_candidates`` on the corpus
+        restricted to ``ids``: band collisions and verification are
+        strictly pairwise, so the full-corpus pair set restricted to
+        ``ids`` equals the pair set of the restricted corpus.  This is the
+        pair oracle :meth:`ClusterIndex.delete` relabels affected
+        components with after a member is removed."""
+        sel = ids.select(F.col(id_col).alias("id")).distinct()
+        isig = self.read_signatures().join(sel, "id", "left_semi")
+        bnd = band_rows(isig.select("id", "sig"), self.num_hashes, self.bands)
+        cand = _self_candidates(bnd, ["band", "bucket"])
+        return _estimate_and_verify(
+            cand,
+            isig.select("id", "sig"),
+            isig.select("id", "sh", "sz"),
+            self.num_hashes,
+            verify_threshold,
+            est_margin,
+        )
+
 
 class SimHashIndex(_SignatureIndex):
     """Persisted SimHash signature index (Hamming near-dup flavor) — one
@@ -284,6 +342,39 @@ class SimHashIndex(_SignatureIndex):
             )
             .join(
                 all_sig.select(F.col("id").alias("b"), F.col("simhash").alias("hb")),
+                "b",
+            )
+            .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming")
+        )
+
+    def pairs_among(
+        self,
+        ids: DataFrame,
+        id_col: str = "doc_id",
+        max_hamming: int = 3,
+    ) -> DataFrame:
+        """(a, b, hamming) pairs among the given doc_ids from stored
+        simhashes alone — chunk-key discovery + exact ``bit_count(xor)``
+        verify, the restriction of ``simhash_near_dup_pairs`` to ``ids``
+        (exact given signatures, like :meth:`dedup_batch`)."""
+        if not 0 <= max_hamming <= 14:
+            raise ValueError(
+                f"max_hamming={max_hamming} out of range (see "
+                "simhash_near_dup_pairs)"
+            )
+        sel = ids.select(F.col(id_col).alias("id")).distinct()
+        isig = self.read_signatures().join(sel, "id", "left_semi")
+        chunks = simhash_chunk_rows(isig, max_hamming).select("id", "ci", "cv")
+        cand = _self_candidates(chunks, ["ci", "cv"])
+        return (
+            cand.join(
+                isig.select(F.col("id").alias("a"), F.col("simhash").alias("ha")),
+                "a",
+            )
+            .join(
+                isig.select(F.col("id").alias("b"), F.col("simhash").alias("hb")),
                 "b",
             )
             .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
@@ -456,6 +547,34 @@ class EmbeddingLSHIndex(_SignatureIndex):
 
         b_rows, i_rows, units = self._sides(batch, vec_col, id_col)
         cand = _batch_candidates(i_rows, b_rows, ["tbl", "sig"])
+        return (
+            cand.join(
+                units.select(F.col("id").alias("a"), F.col("unit").alias("va")), "a"
+            )
+            .join(
+                units.select(F.col("id").alias("b"), F.col("unit").alias("vb")), "b"
+            )
+            .select("a", "b", F.round(_dot("va", "vb"), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
+        )
+
+    def pairs_among(
+        self,
+        ids: DataFrame,
+        id_col: str = "doc_id",
+        threshold: float = 0.9,
+    ) -> DataFrame:
+        """(a, b, cos_sim) pairs among the given vec_ids from stored state
+        alone — per-table signature collisions + exact cosine over stored
+        unit vectors, the restriction of ``embedding_near_dup_pairs`` at
+        the index's pinned settings to ``ids``."""
+        from singer_tap_spark.ops.similarity import _dot
+
+        sel = ids.select(F.col(id_col).alias("id")).distinct()
+        isig = self.read_signatures().join(sel, "id", "left_semi")
+        rows = isig.select("id", F.posexplode("sigs").alias("tbl", "sig"))
+        cand = _self_candidates(rows, ["tbl", "sig"])
+        units = isig.select("id", "unit")
         return (
             cand.join(
                 units.select(F.col("id").alias("a"), F.col("unit").alias("va")), "a"
@@ -705,9 +824,15 @@ class ClusterIndex(_SignatureIndex):
     (2-column columnar reads — once to find affected clusters, once to
     pull their members); both joins are against batch-sized frames (AQE
     broadcasts them), so the state never shuffles; the CC iteration runs
-    on the bounded affected subgraph, not the corpus.  Grow-only:
-    deletions/re-labeled text need a full recompute (documented contract —
-    near-dup clusters only ever merge under accumulation).
+    on the bounded affected subgraph, not the corpus.
+
+    Deletions go through :meth:`delete` (r5): a removed doc can SPLIT its
+    component (deleted bridge) or take its min id with it (deleted hub),
+    which the stored star encoding cannot answer — so delete relabels the
+    affected components' REMAINING members from true pairs re-derived by
+    the caller's signature index (:meth:`MinHashIndex.pairs_among` et al.,
+    stored signatures only, no text).  Re-texted docs still need
+    delete + re-upsert through the signature index, then update().
     """
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16) -> None:
@@ -799,6 +924,117 @@ class ClusterIndex(_SignatureIndex):
         out._cc_rounds = labels._cc_rounds
         return out
 
+    def delete(
+        self,
+        deleted_ids: DataFrame,
+        pairs_for,
+        batch_id: int = 0,
+        id_col: str = "doc_id",
+        a_col: str = "a",
+        b_col: str = "b",
+        max_rounds: int = 64,
+        checkpoint: str | None = "local",
+    ) -> DataFrame:
+        """Remove docs from the clustering — the CDC-DELETE face of
+        :meth:`update` (overrides the signature indexes' bare tombstone
+        delete: dropping a cluster row without relabeling would break the
+        star/min-id invariant).
+
+        ``pairs_for``: callable ``(ids_df with column 'id') -> (a, b, ...)``
+        returning the near-dup pairs AMONG exactly those ids — normally a
+        signature index's ``pairs_among`` (stored signatures, no text).
+        The star encoding cannot answer post-delete connectivity: a
+        deleted bridge splits its component, a deleted hub removes the min
+        id, so the affected components' remaining members are relabeled
+        from true pairs.
+
+        Equivalence with a full recompute over the remaining corpus: a
+        component of the remaining pair graph either holds an id whose OLD
+        component contained a deleted id — then ALL its ids are remaining
+        members of affected old components (pairs never cross old
+        component boundaries) and CC over ``pairs_for(remaining members)``
+        labels it min-id exactly — or it holds none, and its rows are
+        untouched and already correct.  Pytest-enforced incl. the
+        bridge-split and deleted-hub cases (tests/test_ops_incremental.py).
+
+        One LWW merge carries both faces: relabeled survivors (UPSERT) and
+        deleted ids (DELETE tombstones), seq = ``batch_id`` — which must
+        ADVANCE past the rows' last write (the CDC delete contract);
+        replays tie and no-op.  Returns the relabeled slice
+        ``(doc_id, cluster_id)``.
+        """
+        from singer_tap_spark.ops.cluster import near_dup_clusters
+
+        if not self.exists():
+            raise ValueError(
+                f"ClusterIndex at {self.path} has no state to delete from"
+            )
+        dele = (
+            deleted_ids.select(F.col(id_col).alias("id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # bucket-pruned lookup of the deleted ids' cluster rows (update()'s
+        # own pruning pattern); the MEMBERS scan below stays full — a
+        # cluster's members span buckets (bucketed by doc_id, not cluster_id)
+        tb = [
+            r[0]
+            for r in dele.select(
+                self.table._bucket_expr(F.col("id")).alias("b")
+            ).distinct().collect()
+        ]
+        state_touch = self.read_clusters(buckets=tb).select(
+            F.col("doc_id").alias("id"), F.col("cluster_id").alias("cid")
+        )
+        affected = (
+            state_touch.join(dele, "id", "left_semi").select("cid").distinct()
+        )
+        state = self.read_clusters().select(
+            F.col("doc_id").alias("id"), F.col("cluster_id").alias("cid")
+        )
+        remaining = (
+            state.join(affected, "cid", "left_semi")
+            .select("id")
+            .join(dele, "id", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        pairs = pairs_for(remaining).select(
+            F.col(a_col).alias("a"), F.col(b_col).alias("b")
+        )
+        labels = near_dup_clusters(
+            remaining,
+            pairs,
+            id_col="id",
+            a_col="a",
+            b_col="b",
+            max_rounds=max_rounds,
+            checkpoint=checkpoint,
+            out_col="cluster_id",
+        )
+        out = labels.select(F.col("id").alias("doc_id"), "cluster_id")
+        ctype = out.schema["cluster_id"].dataType
+        epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        rows = (
+            out.withColumn("op", F.lit("UPSERT"))
+            .unionByName(
+                dele.select(
+                    F.col("id").alias("doc_id"),
+                    F.lit(None).cast(ctype).alias("cluster_id"),
+                    F.lit("DELETE").alias("op"),
+                )
+            )
+            .select(
+                "doc_id",
+                "cluster_id",
+                epoch.alias("ts"),
+                F.lit(batch_id).cast("long").alias("seq"),
+                "op",
+            )
+        )
+        self.table.merge(rows, batch_id=batch_id)
+        out._cc_rounds = labels._cc_rounds
+        return out
+
 
 def run_streaming_dedup(
     spark: SparkSession,
@@ -876,6 +1112,19 @@ def run_streaming_dedup(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     q.awaitTermination()
+
+
+def _self_candidates(keys: DataFrame, on: list[str]) -> DataFrame:
+    """Bare ``a < b`` candidate pairs WITHIN one key set — the self-join
+    face of :func:`_batch_candidates` (same normalization, same slim-pair
+    dedup-before-payload shape)."""
+    return (
+        keys.alias("l")
+        .join(keys.alias("r"), on)
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def _batch_candidates(

@@ -413,6 +413,208 @@ def test_cluster_index_minhash_pipeline_equals_full(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Deletes — pairs_among + ClusterIndex.delete (r5: closes the grow-only
+# caveat; a removed doc can split its component or take the min id with it)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_index_delete_synthetic(spark, tmp_path):
+    """Constructed graph, three delete phases against the full recompute:
+    deleting a BRIDGE splits its component, deleting the HUB (min id)
+    relabels to the new min, deleting a whole cluster empties it;
+    unrelated clusters keep their rows; a replayed delete no-ops."""
+    from singer_tap_spark.ops.incremental import ClusterIndex
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc_id long")
+
+    def pairs(ps):
+        return spark.createDataFrame(list(ps) or [], "a long, b long")
+
+    # chain 1-2-3-4 (hub 1, bridge 2), cluster {10,11}, singleton 20
+    cur_pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    cur_ids = [1, 2, 3, 4, 10, 11, 20]
+    idx = ClusterIndex(spark, str(tmp_path / "cc"))
+    idx.update(ids(*cur_ids), pairs(cur_pairs), batch_id=0)
+
+    def pf(remaining):
+        rem = {r["id"] for r in remaining.collect()}
+        return pairs([(a, b) for a, b in cur_pairs if a in rem and b in rem])
+
+    def check():
+        assert _clusters(idx.read_clusters()) == _full_cc(
+            spark, ids(*cur_ids), pairs(cur_pairs)
+        )
+
+    # phase 1: delete bridge 2 -> {1}, {3,4} split (1 was the hub of the
+    # old component, so survivors 3,4 must relabel to the new min 3)
+    out = idx.delete(ids(2), pf, batch_id=1)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3, 4}
+    cur_ids = [1, 3, 4, 10, 11, 20]
+    cur_pairs = [(3, 4), (10, 11)]
+    check()
+
+    # phase 2: delete hub 10 -> 11 survives as its own singleton
+    idx.delete(ids(10), pf, batch_id=2)
+    cur_ids = [1, 3, 4, 11, 20]
+    cur_pairs = [(3, 4)]
+    check()
+
+    # phase 3: delete the whole {3,4} cluster + the never-clustered id 999
+    idx.delete(ids(3, 4, 999), pf, batch_id=3)
+    cur_ids = [1, 11, 20]
+    cur_pairs = []
+    check()
+
+    # replay of phase 3 at the same batch_id: LWW ties, state unchanged
+    idx.delete(ids(3, 4, 999), pf, batch_id=3)
+    check()
+
+    # growth after deletes still works (update at an advanced batch_id)
+    idx.update(ids(30), pairs([(30, 11)]), batch_id=4)
+    cur_ids = [1, 11, 20, 30]
+    cur_pairs = [(30, 11)]
+    check()
+
+
+def test_pairs_among_equals_full_restriction(spark, tmp_path):
+    """pairs_among (stored signatures only, no text) must equal the
+    full-corpus pair op run on the restricted corpus — MinHash and SimHash
+    flavors.  This is the delete path's correctness precondition."""
+    from singer_tap_spark.ops.dedup_text import simhash_near_dup_pairs
+    from singer_tap_spark.ops.incremental import SimHashIndex
+
+    d = _docs(spark).where(F.col("doc_id") < 100)
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    keep = corpus.where(
+        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") >= 100000)
+    )
+    sel = keep.select("doc_id")
+
+    mh = MinHashIndex(spark, str(tmp_path / "mh"))
+    mh.upsert(corpus, batch_id=0)
+    got = _pairs(mh.pairs_among(sel, verify_threshold=0.5))
+    want = _pairs(minhash_lsh_candidates(keep, verify_threshold=0.5))
+    assert got == want
+    assert len(got) > 0
+
+    sh = SimHashIndex(spark, str(tmp_path / "sh"))
+    sh.upsert(corpus, batch_id=0)
+    got_s = {
+        (r["a"], r["b"], r["hamming"])
+        for r in sh.pairs_among(sel, max_hamming=2).collect()
+    }
+    want_s = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_dup_pairs(keep, max_hamming=2).collect()
+    }
+    assert got_s == want_s
+    assert len(got_s) > 0
+
+
+def test_embedding_pairs_among_equals_full_restriction(spark, tmp_path):
+    """Embedding flavor of the restriction equality, at the index's pinned
+    settings (the full op's adaptive n_planes is pinned to match)."""
+    from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
+    from singer_tap_spark.ops.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark).where(F.col("vec_id") < 300)
+    dim = len(emb.select("embedding").first()[0])
+    idx = EmbeddingLSHIndex(
+        spark, str(tmp_path / "eidx"), dim=dim, n_planes=2, n_tables=16
+    )
+    idx.upsert(emb, batch_id=0)
+    keep = emb.where(F.col("vec_id") % 3 != 0)
+    got = {
+        tuple(r)
+        for r in idx.pairs_among(
+            keep.select("vec_id"), id_col="vec_id", threshold=0.35
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in embedding_near_dup_pairs(
+            keep, threshold=0.35, n_planes=2, n_tables=16
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_signature_index_delete_semantics(spark, tmp_path):
+    """Index-level delete: the row disappears, later batches see no ghost
+    pairs from the deleted doc, and a STALE-batch_id delete no-ops (the
+    LWW tie contract)."""
+    d = _docs(spark).where(F.col("doc_id") < 50)
+    mh = MinHashIndex(spark, str(tmp_path / "mh"))
+    mh.upsert(d, batch_id=2)
+
+    mh.delete(spark.createDataFrame([(5,)], "doc_id long"), batch_id=3)
+    left = {r["id"] for r in mh.read_signatures().select("id").collect()}
+    assert 5 not in left and 6 in left
+
+    # a batch duplicating doc 5's text: no pair against the deleted id
+    ghost_probe = d.where(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    prs = _pairs(mh.dedup_batch(ghost_probe, verify_threshold=0.5))
+    assert not any(a == 5 or b == 5 for a, b, *_ in prs)
+
+    # stale delete (batch_id strictly BELOW the row's last write): the
+    # stored row's seq guard wins deterministically.  (An EQUAL batch_id is
+    # a max_by tie — undefined, which is why the contract says the delete's
+    # batch_id must advance.)
+    mh.delete(spark.createDataFrame([(7,)], "doc_id long"), batch_id=1)
+    assert 7 in {r["id"] for r in mh.read_signatures().select("id").collect()}
+
+
+def test_cluster_index_delete_minhash_equals_full(spark, tmp_path):
+    """End-to-end delete with the real pair producer: MinHash-driven
+    clustering, delete docs through BOTH indexes (ClusterIndex.delete with
+    mh.pairs_among, then mh.delete), and the state must equal the
+    from-scratch pipeline over the remaining corpus — including deleting
+    one side of a planted near-dup pair (the copy survives alone)."""
+    from singer_tap_spark.ops.incremental import ClusterIndex
+
+    d = _docs(spark).where(F.col("doc_id") < 100)
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    mh = MinHashIndex(spark, str(tmp_path / "mh"))
+    cc = ClusterIndex(spark, str(tmp_path / "cc"))
+    prs = mh.dedup_batch(corpus, verify_threshold=0.5).select("a", "b")
+    cc.update(corpus.select("doc_id"), prs, batch_id=0)
+    mh.upsert(corpus, batch_id=0)
+
+    # delete originals 5 and 17 (their +100000 copies survive) and 40
+    dele = spark.createDataFrame([(5,), (17,), (40,)], "doc_id long")
+    cc.delete(
+        dele, lambda r: mh.pairs_among(r, id_col="id"), batch_id=1
+    )
+    mh.delete(dele, batch_id=1)
+
+    remaining = corpus.where(~F.col("doc_id").isin(5, 17, 40))
+    full = minhash_lsh_candidates(remaining, verify_threshold=0.5)
+    want = _full_cc(
+        spark, remaining.select("doc_id"), full.select("a", "b")
+    )
+    state = _clusters(cc.read_clusters())
+    assert state == want
+    # the deleted originals are gone; their planted copies survive (their
+    # cluster lost its old min-id member and was relabeled)
+    by_id = dict(state)
+    for orig in (5, 17):
+        assert orig not in by_id and 40 not in by_id
+        assert 100000 + orig in by_id
+
+
+# ---------------------------------------------------------------------------
 # IVFIndex — persisted quantizer + inverted lists (VERDICT r4 #6)
 # ---------------------------------------------------------------------------
 
