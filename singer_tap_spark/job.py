@@ -246,6 +246,7 @@ def _dedup_stream(args) -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.follow,
         cluster_index=cc,
+        op_col=args.op_col,
     )
     n_pairs = spark.read.parquet(args.pairs).count()
     print(json.dumps({
@@ -425,6 +426,10 @@ def main(argv: list[str] | None = None) -> None:
     ds.add_argument("--id-col", default="doc_id")
     ds.add_argument("--verify-threshold", type=float, default=0.5)
     ds.add_argument("--max-files-per-trigger", type=int, default=64)
+    ds.add_argument("--op-col", default=None,
+                    help="CDC document feeds: rows with this column == "
+                         "'DELETE' remove the doc from index + clustering "
+                         "(deletes apply before the batch's upserts)")
     ds.add_argument("--follow", action="store_true",
                     help="keep tailing instead of drain-and-stop "
                          "(AvailableNow)")

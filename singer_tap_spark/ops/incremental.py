@@ -854,13 +854,32 @@ class ClusterIndex(_SignatureIndex):
         b_col: str = "b",
         max_rounds: int = 64,
         checkpoint: str | None = "local",
+        plan_path: str | None = None,
     ) -> DataFrame:
         """Fold a batch (its ids + its batch-touching near-dup pairs) into
         the persisted clustering; returns the relabeled slice
         ``(doc_id, cluster_id)`` — every row whose label was (re)computed
         this update, i.e. the batch ids plus all members of every affected
-        existing cluster."""
+        existing cluster.
+
+        ``plan_path``: crash-window protection for replaying callers
+        (streaming sinks).  The state merge swaps bucket files one rename
+        at a time; a kill inside that window leaves SOME rows relabeled —
+        and a replayed recompute DERIVES its subgraph from the state, so
+        against a half-advanced state it can miss stragglers still
+        pointing at a hub whose own row already moved (the exact hazard
+        the delta-feed contract guards: a committed partition must never
+        be recomputed against advanced state).  With ``plan_path`` the
+        relabel slice commits to parquet (``_SUCCESS``) BEFORE any merge,
+        and a replay that finds the committed plan merges it verbatim —
+        identical rows, LWW ties — instead of recomputing."""
         from singer_tap_spark.ops.cluster import near_dup_clusters
+
+        if plan_path is not None and os.path.exists(f"{plan_path}/_SUCCESS"):
+            out = self.spark.read.parquet(plan_path)
+            self._merge(out, batch_id)
+            out._cc_rounds = 0  # committed plan replay: no CC ran
+            return out
 
         new_ids = batch_ids.select(F.col(id_col).alias("id")).distinct()
         # the pair input is typically an EXPENSIVE upstream (a signature
@@ -918,6 +937,9 @@ class ClusterIndex(_SignatureIndex):
             out_col="cluster_id",
         )
         out = labels.select(F.col("id").alias("doc_id"), "cluster_id")
+        if plan_path is not None:
+            out.write.mode("overwrite").parquet(plan_path)
+            out = self.spark.read.parquet(plan_path)
         self._merge(out, batch_id)
         # surface the subgraph's CC round count for diagnostics (star
         # encoding keeps it O(1) regardless of the original diameter)
@@ -934,6 +956,7 @@ class ClusterIndex(_SignatureIndex):
         b_col: str = "b",
         max_rounds: int = 64,
         checkpoint: str | None = "local",
+        plan_path: str | None = None,
     ) -> DataFrame:
         """Remove docs from the clustering — the CDC-DELETE face of
         :meth:`update` (overrides the signature indexes' bare tombstone
@@ -962,6 +985,13 @@ class ClusterIndex(_SignatureIndex):
         ADVANCE past the rows' last write (the CDC delete contract);
         replays tie and no-op.  Returns the relabeled slice
         ``(doc_id, cluster_id)``.
+
+        ``plan_path``: same crash-window protection as :meth:`update` —
+        the (relabels + tombstones) slice commits to parquet before any
+        state merge; a replay that finds the committed plan merges it
+        verbatim instead of recomputing against possibly half-advanced
+        state (a partial swap shrinks the visible affected-member set, so
+        a recomputed relabel could strand survivors as singletons).
         """
         from singer_tap_spark.ops.cluster import near_dup_clusters
 
@@ -969,6 +999,14 @@ class ClusterIndex(_SignatureIndex):
             raise ValueError(
                 f"ClusterIndex at {self.path} has no state to delete from"
             )
+        if plan_path is not None and os.path.exists(f"{plan_path}/_SUCCESS"):
+            rows = self.spark.read.parquet(plan_path)
+            self._apply_cluster_rows(rows, batch_id)
+            out = rows.where(F.col("op") == "UPSERT").select(
+                "doc_id", "cluster_id"
+            )
+            out._cc_rounds = 0  # committed plan replay: no CC ran
+            return out
         dele = (
             deleted_ids.select(F.col(id_col).alias("id"))
             .distinct()
@@ -1013,27 +1051,35 @@ class ClusterIndex(_SignatureIndex):
         )
         out = labels.select(F.col("id").alias("doc_id"), "cluster_id")
         ctype = out.schema["cluster_id"].dataType
-        epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
-        rows = (
-            out.withColumn("op", F.lit("UPSERT"))
-            .unionByName(
-                dele.select(
-                    F.col("id").alias("doc_id"),
-                    F.lit(None).cast(ctype).alias("cluster_id"),
-                    F.lit("DELETE").alias("op"),
-                )
-            )
-            .select(
-                "doc_id",
-                "cluster_id",
-                epoch.alias("ts"),
-                F.lit(batch_id).cast("long").alias("seq"),
-                "op",
+        rows = out.withColumn("op", F.lit("UPSERT")).unionByName(
+            dele.select(
+                F.col("id").alias("doc_id"),
+                F.lit(None).cast(ctype).alias("cluster_id"),
+                F.lit("DELETE").alias("op"),
             )
         )
-        self.table.merge(rows, batch_id=batch_id)
+        if plan_path is not None:
+            rows.write.mode("overwrite").parquet(plan_path)
+            rows = self.spark.read.parquet(plan_path)
+        self._apply_cluster_rows(rows, batch_id)
+        out = rows.where(F.col("op") == "UPSERT").select("doc_id", "cluster_id")
         out._cc_rounds = labels._cc_rounds
         return out
+
+    def _apply_cluster_rows(self, rows: DataFrame, batch_id: int) -> None:
+        """LWW-merge (doc_id, cluster_id, op) rows — UPSERT relabels and
+        DELETE tombstones in one batch (epoch ts, seq = batch_id, the
+        index family's shared sequence contract)."""
+        self.table.merge(
+            rows.select(
+                "doc_id",
+                "cluster_id",
+                F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts"),
+                F.lit(batch_id).cast("long").alias("seq"),
+                "op",
+            ),
+            batch_id=batch_id,
+        )
 
 
 def run_streaming_dedup(
@@ -1048,6 +1094,7 @@ def run_streaming_dedup(
     max_files_per_trigger: int = 64,
     available_now: bool = True,
     cluster_index: "ClusterIndex | None" = None,
+    op_col: str | None = None,
 ) -> None:
     """Streaming corpus dedup — the CDC half and the ops half composed:
     tail a parquet document stream; per microbatch, near-dup pairs against
@@ -1072,30 +1119,73 @@ def run_streaming_dedup(
     one-shot ``near_dup_clusters`` over the final corpus).  The replay
     argument extends: a replayed batch's relabel runs against state that
     already contains its pairs, recomputes the identical labels, and the
-    LWW merge no-ops — still exactly-once with no marker."""
+    LWW merge no-ops — still exactly-once with no marker; the narrow
+    partial-bucket-swap window on the CLUSTER merge is closed by
+    committing each batch's relabel slice to ``<cluster_index.path>/_plans/update=N``
+    first (``ClusterIndex.update(plan_path=...)``) — a replay that finds
+    the committed plan merges it verbatim.
+
+    ``op_col``: CDC document feeds.  When set, rows with ``op_col ==
+    'DELETE'`` name docs to REMOVE (by ``id_col``; other columns may be
+    null) and the rest upsert as before.  Per microbatch, deletes apply
+    FIRST at seq ``2*batch_id`` and upserts at ``2*batch_id + 1`` — so a
+    doc deleted and re-added in one batch survives, and on replay the
+    delete deterministically LOSES to the stored re-add instead of tying
+    (max_by ties are undefined).  Cluster deletions relabel affected
+    components from ``pairs_among`` over the still-present signatures and
+    commit their plan to ``<cluster_index.path>/_plans/delete=N`` (same
+    crash contract; ``_``-prefixed so state reads never see it).  With ``op_col=None`` every merge keeps seq = batch_id —
+    byte-compatible with indexes built by earlier runs."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if op_col is not None:
+            seq_del, seq_up = 2 * batch_id, 2 * batch_id + 1
+            dele = (
+                batch_df.where(F.col(op_col) == "DELETE")
+                .select(F.col(id_col).alias("doc_id"))
+                .distinct()
+            )
+            docs = batch_df.where(
+                (F.col(op_col) != "DELETE") | F.col(op_col).isNull()
+            )
+            if not dele.isEmpty():
+                if cluster_index is not None and cluster_index.exists():
+                    cluster_index.delete(
+                        dele,
+                        lambda r: index.pairs_among(r, id_col="id"),
+                        batch_id=seq_del,
+                        plan_path=f"{cluster_index.path}/_plans/delete={batch_id}",
+                    )
+                # AFTER the cluster relabel: pairs_among needs the
+                # remaining members' signatures, which survive either way,
+                # but the ghost rows must be gone before dedup_batch below
+                index.delete(dele, batch_id=seq_del)
+            if docs.isEmpty():
+                return  # delete-only batch: nothing to sign or pair
+        else:
+            seq_up, docs = batch_id, batch_df
         # signatures computed ONCE per microbatch (the module's own scale
         # contract): persisted so the pair write and the index merge —
         # two separate actions — don't each re-run the shingle+minhash plan
-        sig = index._signatures(batch_df, text_col, id_col).persist()
+        sig = index._signatures(docs, text_col, id_col).persist()
         try:
             pairs = index.dedup_batch(
-                batch_df,
+                docs,
                 text_col=text_col,
                 id_col=id_col,
                 verify_threshold=verify_threshold,
                 signatures=sig,
             )
             pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
-            index.upsert(batch_df, batch_id=batch_id, signatures=sig)
+            index.upsert(docs, batch_id=seq_up, signatures=sig)
             if cluster_index is not None:
                 # consume the just-committed pair partition (cheap scan)
                 # rather than re-running the discovery plan a third time
                 cluster_index.update(
-                    batch_df.select(F.col(id_col).alias("doc_id")),
+                    docs.select(F.col(id_col).alias("doc_id")),
                     spark.read.parquet(f"{pairs_path}/batch={batch_id}"),
-                    batch_id=batch_id,
+                    batch_id=seq_up,
+                    plan_path=f"{cluster_index.path}/_plans/update={batch_id}",
                 )
         finally:
             sig.unpersist()

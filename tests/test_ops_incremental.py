@@ -412,6 +412,99 @@ def test_cluster_index_minhash_pipeline_equals_full(spark, tmp_path):
     assert merged and all(c < 30 for c in merged)
 
 
+def test_streaming_dedup_with_deletes(spark, tmp_path):
+    """op_col: a CDC document feed with DELETE rows.  The stream's end
+    state (signatures AND clusters) must equal the one-shot pipeline over
+    the NET corpus after each phase; an in-batch delete+re-add survives;
+    a forced replay of the delete batch leaves everything identical."""
+    import os
+
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        MinHashIndex,
+        run_streaming_dedup,
+    )
+
+    base = str(tmp_path)
+    d = _docs(spark).where(F.col("doc_id") < 80)
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    idx = MinHashIndex(spark, f"{base}/idx")
+    cc = ClusterIndex(spark, f"{base}/cc")
+
+    def run():
+        run_streaming_dedup(
+            spark, f"{base}/docs", idx, f"{base}/pairs", f"{base}/ckpt",
+            verify_threshold=0.5, max_files_per_trigger=1,
+            cluster_index=cc, op_col="op",
+        )
+
+    def check(net):
+        assert {r["id"] for r in idx.read_signatures().select("id").collect()} \
+            == {r["doc_id"] for r in net.select("doc_id").collect()}
+        got = _clusters(cc.read_clusters())
+        want = _full_cc(
+            spark, net.select("doc_id"),
+            minhash_lsh_candidates(net, verify_threshold=0.5).select("a", "b"),
+        )
+        assert got == want
+
+    # phase 1: plain upsert feed
+    corpus.withColumn("op", F.lit("UPSERT")).repartition(2).write.parquet(
+        f"{base}/docs"
+    )
+    run()
+    check(corpus)
+
+    # phase 2: one appended batch deleting originals 5, 12 (their planted
+    # copies survive and relabel) and 40 — DELETE rows carry null text
+    dele_rows = spark.createDataFrame(
+        [(5, None, "DELETE"), (12, None, "DELETE"), (40, None, "DELETE")],
+        "doc_id long, text string, op string",
+    )
+    dele_rows.coalesce(1).write.mode("append").parquet(f"{base}/docs")
+    run()
+    net2 = corpus.where(~F.col("doc_id").isin(5, 12, 40))
+    check(net2)
+
+    # phase 3: one batch that deletes 7 AND re-adds it (delete-first
+    # in-batch semantics: the re-add wins), plus re-adds the deleted 5
+    re5 = d.where(F.col("doc_id") == 5).select(
+        "doc_id", "text", F.lit("UPSERT").alias("op")
+    )
+    re7 = d.where(F.col("doc_id") == 7).select(
+        "doc_id", "text", F.lit("UPSERT").alias("op")
+    )
+    del7 = spark.createDataFrame(
+        [(7, None, "DELETE")], "doc_id long, text string, op string"
+    )
+    del7.unionByName(re7).unionByName(re5).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/docs")
+    run()
+    net3 = corpus.where(~F.col("doc_id").isin(12, 40))
+    check(net3)
+
+    # forced replay of the last batch: state must not move (the committed
+    # delete_plan/cluster_plan partitions replay verbatim; the replayed
+    # delete loses to the stored re-add instead of tying)
+    last = max(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(f"{base}/pairs")
+        if e.startswith("batch=")
+    )
+    os.remove(f"{base}/ckpt/commits/{last}")
+    crc = f"{base}/ckpt/commits/.{last}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    check(net3)
+
+
 # ---------------------------------------------------------------------------
 # Deletes — pairs_among + ClusterIndex.delete (r5: closes the grow-only
 # caveat; a removed doc can split its component or take the min id with it)
