@@ -687,6 +687,60 @@ def q_docs_dup_clusters_incremental(spark, sf_dir):
 _CC_INDEX_CACHE: dict = {}
 
 
+def x_docs_dup_clusters_delete(spark, sf_dir):
+    """CDC-DELETE face of the incremental clustering (r5 close): the
+    persisted clustering is seeded from the corpus (+ planted dups), then
+    originals 5 and 17 (each with a planted near-dup copy) and plain doc
+    50 are DELETED — ``ClusterIndex.delete`` relabels only the affected
+    components' remaining members from pairs re-derived by
+    ``MinHashIndex.pairs_among`` (stored signatures, no text), and the
+    signature index tombstones the ghosts.  Output = the full clustering
+    after the delete; oracle = the same recursive-CTE transitive closure
+    as ``docs_dup_clusters_incremental`` with the deleted ids excluded
+    from the doc set.  Extra (not driver-facing): the driver surface is
+    capped at 50 keys; verified by tests/test_entry_contract.py."""
+    import tempfile
+
+    from singer_tap_spark.ops.incremental import ClusterIndex, MinHashIndex
+
+    path = _CC_DEL_CACHE.get(sf_dir)
+    if path is None:
+        d = (
+            _t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 150)
+            .select("doc_id", "text")
+        )
+        corpus = d.unionByName(
+            d.where(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + _DOUBLE_OFFSET).alias("doc_id"), "text"
+            )
+        )
+        path = tempfile.mkdtemp(prefix="cc_del_")
+        mh = MinHashIndex(spark, f"{path}/mh")
+        cc = ClusterIndex(spark, f"{path}/cc")
+        sig = mh._signatures(corpus, "text", "doc_id").persist()
+        try:
+            pairs = mh.dedup_batch(
+                corpus, verify_threshold=0.5, signatures=sig
+            ).select("a", "b")
+            cc.update(corpus.select("doc_id"), pairs, batch_id=0)
+            mh.upsert(corpus, batch_id=0, signatures=sig)
+        finally:
+            sig.unpersist()
+        dele = spark.createDataFrame(
+            [(5,), (17,), (50,)], "doc_id long"
+        )
+        cc.delete(
+            dele, lambda r: mh.pairs_among(r, id_col="id"), batch_id=1
+        )
+        mh.delete(dele, batch_id=1)
+        _CC_DEL_CACHE[sf_dir] = path
+    return ClusterIndex(spark, f"{path}/cc").read_clusters()
+
+
+_CC_DEL_CACHE: dict = {}
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
@@ -1126,12 +1180,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - docs_token_histogram: bucketed agg over the ``docs_token_count`` op
     - docs_splits: plain md5 splits; ``docs_splits_safe`` is its
       cluster-keyed superset
+    - docs_dup_clusters_delete: the CDC-DELETE face of
+      ``docs_dup_clusters_incremental`` (r5 close — ClusterIndex.delete +
+      pairs_among), same recursive-CTE oracle family
     """
     return {
         "sessionization_window": q_sessionization_window,
         "docs_quality_topk": q_docs_quality_topk,
         "docs_token_histogram": q_docs_token_histogram,
         "docs_splits": q_docs_splits,
+        "docs_dup_clusters_delete": x_docs_dup_clusters_delete,
     }
 
 
@@ -2140,6 +2198,38 @@ def extra_oracle_sql() -> dict[str, str]:
     as :func:`oracle_sql`, run by tests/test_entry_contract.py instead of
     the driver (50-row cap, see :func:`queries`)."""
     return {
+        # clustering over the corpus + planted dups MINUS the deleted ids
+        # (5, 17, 50) — the planted copies of 5/17 remain and relabel
+        "docs_dup_clusters_delete": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 150
+            ), docs AS (
+              SELECT doc_id AS id, t FROM base WHERE doc_id NOT IN (5, 17, 50)
+              UNION ALL
+              SELECT doc_id + 100000 AS id, t FROM base WHERE doc_id < 30
+            ), sh AS (
+              SELECT DISTINCT id, substr(t, i, 4) AS shingle
+              FROM docs, unnest(range(1, greatest(length(t) - 3, 1) + 1)) AS u(i)
+            ), sizes AS (
+              SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), raw AS (
+              SELECT l.id AS a, r.id AS b, count(*) AS inter
+              FROM sh l JOIN sh r USING (shingle) WHERE l.id < r.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b
+              FROM raw JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+              WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+            ), edges AS (
+              SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(id, l) AS (
+              SELECT id, id FROM docs
+              UNION
+              SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+            )
+            SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id
+        """,
         "sessionization_window": """
             WITH gapped AS (
               SELECT user_id, ts, event_id,
