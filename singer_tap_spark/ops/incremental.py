@@ -408,6 +408,7 @@ class EmbeddingLSHIndex(_SignatureIndex):
         n_tables: int = 16,
         seed: int = 42,
         n_buckets: int = 16,
+        vectorized_signatures: bool = False,
     ) -> None:
         super().__init__(
             spark,
@@ -419,16 +420,39 @@ class EmbeddingLSHIndex(_SignatureIndex):
         self.n_planes = n_planes
         self.n_tables = n_tables
         self.seed = seed
+        # Execution detail, deliberately NOT in the pinned signature-space
+        # params: either path yields the same stored rows (pytest-pinned),
+        # so an index written with one can be reopened with the other.
+        self.vectorized_signatures = vectorized_signatures
 
     def _signatures(self, vecs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         """(doc_id, unit, sigs): exploded per-table signatures folded back
         to a table-ordered array (collect_list of (tbl, sig) structs +
-        array_sort — deterministic at any parallelism)."""
-        from singer_tap_spark.ops.similarity import _all_table_sigs, with_unit_vec
+        array_sort — deterministic at any parallelism).  With
+        ``vectorized_signatures`` the Arrow GEMM kernel emits the
+        table-ordered array DIRECTLY — no explode, no fold-back groupBy
+        shuffle at ingest (the scale path; bit equality with the fold is
+        pytest-pinned in test_ops_incremental)."""
+        from singer_tap_spark.ops.similarity import (
+            _all_table_sigs,
+            _hyperplanes,
+            _table_sigs_kernel,
+            with_unit_vec,
+        )
 
         u = with_unit_vec(vecs, vec_col).select(
             F.col(id_col).alias("id"), F.col("_unit").alias("v")
         )
+        if self.vectorized_signatures:
+            k = _table_sigs_kernel([
+                _hyperplanes(self.dim, self.n_planes, self.seed + t)
+                for t in range(self.n_tables)
+            ])
+            return u.select(
+                F.col("id").alias("doc_id"),
+                F.col("v").alias("unit"),
+                k(F.col("v")).alias("sigs"),
+            )
         sigs = _all_table_sigs(u, self.dim, self.n_planes, self.n_tables, self.seed)
         folded = (
             sigs.groupBy("id")

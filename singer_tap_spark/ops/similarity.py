@@ -114,8 +114,50 @@ def signature_expr(vec_col, planes: list[list[float]]) -> F.Column:
     return sum(bits[1:], bits[0])
 
 
+def _table_sigs_kernel(all_planes):
+    """Arrow kernel: every table's signature for a vector batch in ONE
+    float64 GEMM — ``(B, dim) @ (dim, T*P)`` sign bits folded to per-table
+    longs with the same ``2**p`` weights as :func:`signature_expr`.
+
+    The JVM-HOF form (:func:`_all_table_sigs` default) measures ~0.7 us
+    per ELEMENT (n x T x P x dim interpreted lambda steps — the same trap
+    CLAUDE.md records for IVF's argmin): 2k vectors x 8 tables x 5 planes
+    x dim 64 = 3.7 s of signature time at sf0.1.  The GEMM does the same
+    5M flops in milliseconds and is batch-shape-independent.  Bit
+    equality with the HOF holds unless a dot product sits within float
+    summation-order error of EXACTLY zero (|dot| < ~1e-13 of the fold
+    result — probability ~1e-9 per signature on unit vectors), which is
+    why the HOF stays the default under the module's bit-exact-oracle
+    convention and this kernel is the ``vectorized_signatures=True``
+    production path (pytest pins exact equality on the test corpora)."""
+    planes = np.asarray(all_planes, dtype=np.float64)  # (T, P, dim)
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def k(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+        bits = (v @ flat) > 0  # (B, T*P)
+        sigs = (bits.reshape(len(vs), n_tables, n_planes) * weights).sum(
+            axis=2
+        )
+        return pd.Series(list(sigs))
+
+    return k
+
+
 def _all_table_sigs(
-    u: DataFrame, dim: int, n_planes: int, n_tables: int, seed: int
+    u: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    vectorized: bool = False,
 ) -> DataFrame:
     """(id, v, tbl, sig) for every table from ONE scan.
 
@@ -127,8 +169,18 @@ def _all_table_sigs(
     each row's signature with a SMALL expression that indexes a constant
     plane tensor (array<array<array<double>>>) by table id — one scan,
     codegen-friendly, and bit-identical to :func:`signature_expr` (same
-    seeds, same left-fold summation order)."""
+    seeds, same left-fold summation order).  ``vectorized``: route the
+    per-row signature math through the Arrow GEMM kernel instead
+    (:func:`_table_sigs_kernel` — the scale path; same seeds, same
+    weights, float-rounding-identical in practice and pytest-pinned
+    equal on the test corpora)."""
     all_planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    if vectorized:
+        k = _table_sigs_kernel(all_planes)
+        return (
+            u.withColumn("_sigs", k(F.col("v")))
+            .select("id", "v", F.posexplode("_sigs").alias("tbl", "sig"))
+        )
     planes_lit = F.array(*[
         F.array(*[
             F.array(*[F.lit(float(x)) for x in plane]) for plane in tbl_planes
@@ -174,6 +226,7 @@ def lsh_ann_topk(
     seed: int = 42,
     target_bucket_size: int = 32,
     vectorized_scoring: bool = False,
+    vectorized_signatures: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs cosine top-k: ``n_tables`` independent LSH
     tables (union of candidates), exact cosine within buckets, top-k per
@@ -193,7 +246,8 @@ def lsh_ann_topk(
     u = with_unit_vec(corpus, vec_col).select(
         F.col(id_col).alias("id"), F.col("_unit").alias("v")
     )
-    sigs = _all_table_sigs(u, dim, n_planes, n_tables, seed)
+    sigs = _all_table_sigs(u, dim, n_planes, n_tables, seed,
+                           vectorized=vectorized_signatures)
     # candidate pairs travel BARE (query_id, neighbor_id): at dim 512-4096
     # a unit vector is KBs, and a pair colliding in several tables would
     # drag two of them through the bucket join AND the pair-dedup shuffle
@@ -438,6 +492,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     target_bucket_size: int = 32,
     vectorized_scoring: bool = False,
+    vectorized_signatures: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos_sim >= threshold) via
     LSH buckets — the scale path for the dedup family's embedding variant.
@@ -468,7 +523,8 @@ def embedding_near_dup_pairs(
     u = with_unit_vec(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_unit").alias("v")
     )
-    sigs = _all_table_sigs(u, dim, n_planes, n_tables, seed)
+    sigs = _all_table_sigs(u, dim, n_planes, n_tables, seed,
+                           vectorized=vectorized_signatures)
     slim = sigs.select("id", "tbl", "sig")
     pairs = (
         slim.alias("l")

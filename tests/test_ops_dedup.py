@@ -285,6 +285,37 @@ def test_vectorized_scoring_matches_hof(spark, emb):
         assert len(a) > 0
 
 
+def test_vectorized_signatures_match_hof(spark, emb):
+    """The opt-in Arrow GEMM signature kernel (one (B,dim)@(dim,T*P)
+    matmul per batch) must agree with the JVM plane-tensor fold on every
+    op that offers it — same seeds, same 2**p bit weights.  The HOF form
+    costs ~0.7us per interpreted lambda ELEMENT (n x T x P x dim), so the
+    kernel is the scale path; the fold stays default for bit-exact DuckDB
+    oracle parity (sign flips need |dot| within summation-order float
+    error of exactly zero — absent on these corpora, pinned here)."""
+    e = emb.where(F.col("vec_id") < 150)
+    for fn, kw in [
+        (lsh_ann_topk, dict(k=5, n_planes=2, n_tables=8)),
+        (embedding_near_dup_pairs, dict(threshold=0.35, n_planes=2, n_tables=16)),
+    ]:
+        a = {tuple(r) for r in fn(e, **kw).collect()}
+        b = {tuple(r) for r in fn(e, vectorized_signatures=True, **kw).collect()}
+        assert a == b, fn.__name__
+        assert len(a) > 0
+
+
+def test_vectorized_signatures_and_scoring_compose(spark, emb):
+    """Both Arrow kernels on at once — the full production configuration
+    — still reproduces the all-JVM result."""
+    e = emb.where(F.col("vec_id") < 120)
+    a = {tuple(r) for r in lsh_ann_topk(e, k=5, n_planes=2, n_tables=8).collect()}
+    b = {tuple(r) for r in lsh_ann_topk(
+        e, k=5, n_planes=2, n_tables=8,
+        vectorized_scoring=True, vectorized_signatures=True).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
 def test_benchmark_contamination(spark):
     """A doc QUOTING a benchmark item verbatim is flagged (near-dup dedup
     can't catch that); unrelated docs are not; a bench item shorter than n

@@ -228,6 +228,38 @@ def test_embedding_index_near_dup_equals_full_recompute(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_embedding_index_vectorized_signatures_equal(spark, tmp_path):
+    """An index ingested via the Arrow GEMM signature kernel stores the
+    SAME rows as the default explode+fold path (same table-ordered sigs,
+    same units) and answers queries identically — execution detail, not
+    signature-space param, so the two can interoperate on one index."""
+    from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
+
+    emb = _emb(spark).where(F.col("vec_id") < 200)
+    dim = len(emb.select("embedding").first()[0])
+    corpus = emb.where(F.col("vec_id") < 150)
+    batch = emb.where(F.col("vec_id") >= 150)
+
+    a = EmbeddingLSHIndex(spark, str(tmp_path / "a"), dim=dim,
+                          n_planes=2, n_tables=16)
+    b = EmbeddingLSHIndex(spark, str(tmp_path / "b"), dim=dim,
+                          n_planes=2, n_tables=16,
+                          vectorized_signatures=True)
+    for idx in (a, b):
+        idx.upsert(corpus, batch_id=0)
+
+    rows_a = {(r["id"], tuple(r["sigs"]), tuple(round(x, 9) for x in r["unit"]))
+              for r in a.read_signatures().collect()}
+    rows_b = {(r["id"], tuple(r["sigs"]), tuple(round(x, 9) for x in r["unit"]))
+              for r in b.read_signatures().collect()}
+    assert rows_a == rows_b
+    assert len(rows_a) == 150
+
+    got_a = {tuple(r) for r in a.topk_batch(batch, k=5).collect()}
+    got_b = {tuple(r) for r in b.topk_batch(batch, k=5).collect()}
+    assert got_a == got_b and len(got_a) > 0
+
+
 def test_embedding_index_params_and_idempotence(spark, tmp_path):
     from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
 
