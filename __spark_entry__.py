@@ -505,11 +505,13 @@ def q_emb_ann_incremental(spark, sf_dir):
     path = _EMB_INDEX_CACHE.get(sf_dir)
     if path is None:
         path = tempfile.mkdtemp(prefix="emb_idx_")
-        idx = EmbeddingLSHIndex(spark, path, dim=dim, n_planes=2, n_tables=32)
+        idx = EmbeddingLSHIndex(spark, path, dim=dim, n_planes=2, n_tables=32,
+                                vectorized_signatures=True)
         idx.upsert(corpus, batch_id=0)
         _EMB_INDEX_CACHE[sf_dir] = path
     else:
-        idx = EmbeddingLSHIndex(spark, path, dim=dim, n_planes=2, n_tables=32)
+        idx = EmbeddingLSHIndex(spark, path, dim=dim, n_planes=2, n_tables=32,
+                                vectorized_signatures=True)
     return idx.topk_batch(batch, k=5).withColumn(
         "rank", F.col("rank").cast("long")
     )
@@ -757,7 +759,8 @@ def q_emb_near_dup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
     # pinned settings (production default auto-scales n_planes with corpus
     # size; that would change recall with sf and break the exact oracle)
-    return embedding_near_dup_pairs(emb, threshold=0.35, n_planes=2, n_tables=16)
+    return embedding_near_dup_pairs(emb, threshold=0.35, n_planes=2,
+                                    n_tables=16, vectorized_signatures=True)
 
 
 def q_docs_quality_topk(spark, sf_dir):
@@ -1023,7 +1026,11 @@ def q_emb_lsh_ann(spark, sf_dir):
     """LSH-ANN top-5 — measured exact vs brute force at these settings on
     this corpus (pytest-enforced), so the oracle is the exact top-k SQL."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return lsh_ann_topk(emb, k=5, n_planes=2, n_tables=32).withColumn(
+    # Arrow GEMM signature kernel (the scale path): equality with the JVM
+    # fold AND with exact brute force is enforced at every shipped sf
+    # (tests/test_parity_all_sf.py gemm legs), so the exact oracle holds.
+    return lsh_ann_topk(emb, k=5, n_planes=2, n_tables=32,
+                        vectorized_signatures=True).withColumn(
         "rank", F.col("rank").cast("long")
     )
 

@@ -429,30 +429,31 @@ class EmbeddingLSHIndex(_SignatureIndex):
         """(doc_id, unit, sigs): exploded per-table signatures folded back
         to a table-ordered array (collect_list of (tbl, sig) structs +
         array_sort — deterministic at any parallelism).  With
-        ``vectorized_signatures`` the Arrow GEMM kernel emits the
-        table-ordered array DIRECTLY — no explode, no fold-back groupBy
-        shuffle at ingest (the scale path; bit equality with the fold is
-        pytest-pinned in test_ops_incremental)."""
+        ``vectorized_signatures`` the Arrow unit+sigs kernel consumes the
+        RAW embedding and emits the normalized unit and the table-ordered
+        sigs array DIRECTLY — no per-element HOF normalize, no explode,
+        no fold-back groupBy shuffle at ingest (the scale path; equality
+        with the fold is pytest-pinned in test_ops_incremental, plan
+        shape in test_plan_quality)."""
         from singer_tap_spark.ops.similarity import (
             _all_table_sigs,
             _hyperplanes,
-            _table_sigs_kernel,
+            _unit_sigs_kernel,
             with_unit_vec,
         )
 
-        u = with_unit_vec(vecs, vec_col).select(
-            F.col(id_col).alias("id"), F.col("_unit").alias("v")
-        )
         if self.vectorized_signatures:
-            k = _table_sigs_kernel([
+            k = _unit_sigs_kernel([
                 _hyperplanes(self.dim, self.n_planes, self.seed + t)
                 for t in range(self.n_tables)
             ])
-            return u.select(
-                F.col("id").alias("doc_id"),
-                F.col("v").alias("unit"),
-                k(F.col("v")).alias("sigs"),
-            )
+            return vecs.select(
+                F.col(id_col).alias("doc_id"), k(F.col(vec_col)).alias("_us")
+            ).select("doc_id", F.col("_us.unit").alias("unit"),
+                     F.col("_us.sigs").alias("sigs"))
+        u = with_unit_vec(vecs, vec_col).select(
+            F.col(id_col).alias("id"), F.col("_unit").alias("v")
+        )
         sigs = _all_table_sigs(u, self.dim, self.n_planes, self.n_tables, self.seed)
         folded = (
             sigs.groupBy("id")

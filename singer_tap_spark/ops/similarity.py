@@ -151,6 +151,44 @@ def _table_sigs_kernel(all_planes):
     return k
 
 
+def _unit_sigs_kernel(all_planes):
+    """Arrow kernel over RAW embeddings: L2-normalize + every table's
+    signature in one batch — ``struct<unit array<double>, sigs
+    array<long>>``.  The ingest twin of :func:`_table_sigs_kernel`: an
+    index ingest that normalizes via the Catalyst ``transform`` HOF pays
+    ~0.7 us per ELEMENT on the n x dim divide (10^9 vectors x dim 1024 =
+    ~8 CPU-days of interpreted lambda); here the divide rides the same
+    numpy batch as the signature GEMM, and the Arrow transfer carries the
+    raw float32 array instead of a pre-doubled unit vector.  Unit values
+    may differ from the HOF fold in final-ulp summation order (pairwise
+    vs left-fold sum under the sqrt) — downstream comparisons are
+    ``round(cos, 6)`` and signature equality is pytest-pinned on the
+    shipped corpora, same argument as the signature kernel.  A zero
+    vector normalizes to NaNs (no cosine is defined for it on either
+    path)."""
+    planes = np.asarray(all_planes, dtype=np.float64)  # (T, P, dim)
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<unit: array<double>, sigs: array<long>>")
+    def k(vs: pd.Series) -> pd.DataFrame:
+        if not len(vs):
+            return pd.DataFrame({"unit": [], "sigs": []})
+        v = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+        nrm = np.sqrt((v * v).sum(axis=1, keepdims=True))
+        unit = v / np.where(nrm == 0.0, np.nan, nrm)
+        bits = (unit @ flat) > 0  # (B, T*P)
+        sigs = (bits.reshape(len(vs), n_tables, n_planes) * weights).sum(
+            axis=2
+        )
+        return pd.DataFrame({"unit": list(unit), "sigs": list(sigs)})
+
+    return k
+
+
 def _all_table_sigs(
     u: DataFrame,
     dim: int,

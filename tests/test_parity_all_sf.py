@@ -44,26 +44,33 @@ def test_minhash_lsh_parity_at_driver_settings(spark, sf):
     assert len(got) > 0
 
 
+@pytest.mark.parametrize("vec", [False, True], ids=["hof", "gemm"])
 @pytest.mark.parametrize("sf", SFS)
-def test_lsh_ann_parity_at_driver_settings(spark, sf):
+def test_lsh_ann_parity_at_driver_settings(spark, sf, vec):
     """emb_lsh_ann: planes=2 x tables=32 top-5 equals exact brute-force
-    top-5 on the vec_id<200 corpus."""
+    top-5 on the vec_id<200 corpus — via BOTH signature paths (the entry
+    ships the Arrow GEMM kernel, so its exact-SQL oracle needs the gemm
+    leg enforced at every shipped sf, same argument as banding recall)."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(F.col("vec_id") < 200)
     got = {tuple(r) for r in
-           lsh_ann_topk(emb, k=5, n_planes=2, n_tables=32).collect()}
+           lsh_ann_topk(emb, k=5, n_planes=2, n_tables=32,
+                        vectorized_signatures=vec).collect()}
     want = {tuple(r) for r in _brute_topk(emb, k=5).collect()}
     assert got == want
     assert len(got) > 0
 
 
+@pytest.mark.parametrize("vec", [False, True], ids=["hof", "gemm"])
 @pytest.mark.parametrize("sf", SFS)
-def test_embedding_near_dup_parity_at_driver_settings(spark, sf):
+def test_embedding_near_dup_parity_at_driver_settings(spark, sf, vec):
     """emb_near_dup_pairs: planes=2 x tables=16 at threshold 0.35 recovers
-    every brute-force pair on the vec_id<300 corpus."""
+    every brute-force pair on the vec_id<300 corpus — both signature
+    paths (entry ships gemm)."""
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(F.col("vec_id") < 300)
     got = {(r.a, r.b, r.cos_sim) for r in
            embedding_near_dup_pairs(
-               emb, threshold=0.35, n_planes=2, n_tables=16).collect()}
+               emb, threshold=0.35, n_planes=2, n_tables=16,
+               vectorized_signatures=vec).collect()}
     u = with_unit_vec(emb).select(F.col("vec_id").alias("id"), F.col("_unit").alias("v"))
     want = {(r.a, r.b, r.cos_sim) for r in (
         u.alias("l").join(u.alias("r"), F.col("l.id") < F.col("r.id"))
@@ -114,12 +121,13 @@ def test_incremental_minhash_parity_at_driver_settings(spark, sf, tmp_path):
     assert len(got) > 0
 
 
+@pytest.mark.parametrize("vec", [False, True], ids=["hof", "gemm"])
 @pytest.mark.parametrize("sf", SFS)
-def test_embedding_index_parity_at_driver_settings(spark, sf, tmp_path):
+def test_embedding_index_parity_at_driver_settings(spark, sf, tmp_path, vec):
     """emb_ann_incremental: batch top-5 vs the persisted index equals the
     exact brute-force answer at the entry's pinned slices/settings on
     EVERY shipped sf (candidate-exactness is what licenses its SQL
-    oracle)."""
+    oracle) — both signature paths (entry ships gemm)."""
     from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(
@@ -129,7 +137,8 @@ def test_embedding_index_parity_at_driver_settings(spark, sf, tmp_path):
     corpus = emb.where(F.col("vec_id") < 150)
     batch = emb.where(F.col("vec_id") >= 150)
     idx = EmbeddingLSHIndex(spark, str(tmp_path / "eidx"), dim=dim,
-                            n_planes=2, n_tables=32)
+                            n_planes=2, n_tables=32,
+                            vectorized_signatures=vec)
     idx.upsert(corpus, batch_id=0)
     got = {tuple(r) for r in idx.topk_batch(batch, k=5).collect()}
     want = {tuple(r) for r in

@@ -358,3 +358,24 @@ def test_cluster_and_incremental_plan_shape(spark, tmp_path):
     assert "CartesianProduct" not in dplan
     assert "BroadcastNestedLoopJoin" not in dplan
     assert "partial_min" in dplan  # batch signature agg is map-side partial
+
+
+def test_vectorized_signature_ingest_is_map_only(spark, tmp_path):
+    """The Arrow GEMM signature path exists to make index ingest a single
+    map-only pass: one (B,dim)@(dim,T*P) matmul per Arrow batch, the
+    table-ordered sigs array emitted directly.  The default HOF path pays
+    an explode + fold-back groupBy (one Exchange); the gemm path must pay
+    ZERO — a reintroduced shuffle would silently erase the kernel's point
+    at 10^9-vector ingest."""
+    from singer_tap_spark.ops.incremental import EmbeddingLSHIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    fast = EmbeddingLSHIndex(spark, str(tmp_path / "f"), dim=dim,
+                             vectorized_signatures=True)
+    plan = _plan(fast._signatures(emb, "embedding", "vec_id"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+    slow = EmbeddingLSHIndex(spark, str(tmp_path / "s"), dim=dim)
+    assert "Exchange" in _plan(slow._signatures(emb, "embedding", "vec_id"))
