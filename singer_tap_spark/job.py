@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import time
@@ -248,11 +249,21 @@ def _dedup_stream(args) -> None:
         cluster_index=cc,
         op_col=args.op_col,
     )
-    n_pairs = spark.read.parquet(args.pairs).count()
+    # a delete-only (or empty) feed legitimately never creates the pairs
+    # dir or the cluster table — report zeros instead of crashing AFTER
+    # the work committed (a non-zero exit here would make a supervisor
+    # retry a run that already succeeded)
+    n_pairs = (
+        spark.read.parquet(args.pairs).count()
+        if os.path.isdir(args.pairs) and os.listdir(args.pairs) else 0
+    )
     print(json.dumps({
         "pairs_total": n_pairs,
-        "index_docs": idx.read_signatures().count(),
-        "clusters": (cc.read_clusters().count() if cc is not None else None),
+        "index_docs": idx.read_signatures().count() if idx.exists() else 0,
+        "clusters": (
+            (cc.read_clusters().count() if cc.exists() else 0)
+            if cc is not None else None
+        ),
     }))
 
 

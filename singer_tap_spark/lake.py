@@ -172,6 +172,19 @@ class ParquetLakeTable(LakeTable):
         key = F.col(self.bucket_key) if col is None else col
         return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
 
+    def probe_bucket_expr(self, col: F.Column) -> F.Column:
+        """Bucket id for a CALLER-typed key column: cast to the STORED key
+        type first.  ``xxhash64`` is type-sensitive (``xxhash64(int 5) !=
+        xxhash64(bigint 5)``) and the storage layout hashes the
+        post-``align`` column (merge casts src to the evolved schema BEFORE
+        bucketing), so probing with e.g. an int-typed id frame against a
+        bigint-keyed table through the raw ``_bucket_expr`` would silently
+        prune the WRONG buckets — an empty lookup, not an error."""
+        if self.exists():
+            dt = self._load_schema()[self.bucket_key].dataType
+            col = col.cast(dt)
+        return self._bucket_expr(col)
+
     # -- reads ---------------------------------------------------------------
     def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current table state (without sink-metadata columns).

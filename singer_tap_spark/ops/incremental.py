@@ -928,7 +928,7 @@ class ClusterIndex(_SignatureIndex):
             tb = [
                 r[0]
                 for r in touched.select(
-                    self.table._bucket_expr(F.col("id")).alias("b")
+                    self.table.probe_bucket_expr(F.col("id")).alias("b")
                 ).distinct().collect()
             ]
             state_touch = self.read_clusters(buckets=tb).select(
@@ -1043,7 +1043,7 @@ class ClusterIndex(_SignatureIndex):
         tb = [
             r[0]
             for r in dele.select(
-                self.table._bucket_expr(F.col("id")).alias("b")
+                self.table.probe_bucket_expr(F.col("id")).alias("b")
             ).distinct().collect()
         ]
         state_touch = self.read_clusters(buckets=tb).select(
@@ -1162,6 +1162,38 @@ def run_streaming_dedup(
     crash contract; ``_``-prefixed so state reads never see it).  With ``op_col=None`` every merge keeps seq = batch_id —
     byte-compatible with indexes built by earlier runs."""
 
+    _ns: list = []
+
+    def _plan_dir() -> str:
+        """Plan namespace: ``_plans/<query-id>/`` — the streaming query id
+        from the checkpoint's ``metadata`` file (written at query start).
+        Stable across kill-replay of the SAME checkpoint (the crash
+        contract needs the replay to FIND its committed plan), fresh for a
+        new checkpoint — without it, a rerun that kept the index but
+        started a new checkpoint would find the OLD run's
+        ``update=0/_SUCCESS``, merge that stale slice verbatim, and
+        silently skip folding its own batch 0."""
+        if not _ns:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                qid = json.load(f)["id"]
+            _ns.append(f"{cluster_index.path}/_plans/{qid}")
+        return _ns[0]
+
+    def _gc_plans(upto_batch: int) -> None:
+        """Drop plan slices for batches < the one just committed: with
+        foreachBatch only the LAST batch can replay, so older plans are
+        dead weight (one parquet dir per batch forever, otherwise)."""
+        import shutil
+
+        base = _plan_dir()
+        if not os.path.isdir(base):
+            return
+        for e in os.listdir(base):
+            kind, _, num = e.partition("=")
+            if kind in ("update", "delete") and num.isdigit() \
+                    and int(num) < upto_batch:
+                shutil.rmtree(os.path.join(base, e), ignore_errors=True)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if op_col is not None:
             seq_del, seq_up = 2 * batch_id, 2 * batch_id + 1
@@ -1175,17 +1207,25 @@ def run_streaming_dedup(
             )
             if not dele.isEmpty():
                 if cluster_index is not None and cluster_index.exists():
+                    # the SAME threshold the update path pairs at: a
+                    # looser default here would link docs during the
+                    # post-delete relabel that dedup_batch never paired,
+                    # merging clusters the one-shot recompute keeps apart
                     cluster_index.delete(
                         dele,
-                        lambda r: index.pairs_among(r, id_col="id"),
+                        lambda r: index.pairs_among(
+                            r, id_col="id", verify_threshold=verify_threshold
+                        ),
                         batch_id=seq_del,
-                        plan_path=f"{cluster_index.path}/_plans/delete={batch_id}",
+                        plan_path=f"{_plan_dir()}/delete={batch_id}",
                     )
                 # AFTER the cluster relabel: pairs_among needs the
                 # remaining members' signatures, which survive either way,
                 # but the ghost rows must be gone before dedup_batch below
                 index.delete(dele, batch_id=seq_del)
             if docs.isEmpty():
+                if cluster_index is not None:
+                    _gc_plans(batch_id)
                 return  # delete-only batch: nothing to sign or pair
         else:
             seq_up, docs = batch_id, batch_df
@@ -1210,8 +1250,9 @@ def run_streaming_dedup(
                     docs.select(F.col(id_col).alias("doc_id")),
                     spark.read.parquet(f"{pairs_path}/batch={batch_id}"),
                     batch_id=seq_up,
-                    plan_path=f"{cluster_index.path}/_plans/update={batch_id}",
+                    plan_path=f"{_plan_dir()}/update={batch_id}",
                 )
+                _gc_plans(batch_id)
         finally:
             sig.unpersist()
 

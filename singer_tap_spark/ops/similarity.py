@@ -137,16 +137,47 @@ def _table_sigs_kernel(all_planes):
 
     from pyspark.sql.functions import pandas_udf
 
+    dim = flat.shape[0]
+    zeros = np.zeros(n_tables, dtype=np.int64)
+
     @pandas_udf("array<long>")
     def k(vs: pd.Series) -> pd.Series:
-        if not len(vs):
+        n = len(vs)
+        if not n:
             return pd.Series([], dtype=object)
-        v = np.array([np.asarray(x, dtype=np.float64) for x in vs])
-        bits = (v @ flat) > 0  # (B, T*P)
-        sigs = (bits.reshape(len(vs), n_tables, n_planes) * weights).sum(
-            axis=2
-        )
-        return pd.Series(list(sigs))
+        vals = [
+            None if x is None else np.asarray(x, dtype=np.float64) for x in vs
+        ]
+        # Degenerate rows (NULL vector, wrong length, NULL/NaN elements)
+        # are kept out of the GEMM — one bad row would otherwise throw
+        # numpy's inhomogeneous-shape error and kill the whole task — and
+        # uniformly get sig 0 (the fold's answer for every null-tainted
+        # dot).  Deliberate divergence for TRUE-NaN elements: the fold
+        # gives those the all-ones sig (NaN > 0 is TRUE in Spark), but
+        # Arrow conflates null elements with NaN so the distinction is
+        # unrepresentable kernel-side — sig 0 is the safe uniform rule
+        # (pytest pins the whole degenerate family).
+        bad = {
+            i for i, x in enumerate(vals)
+            if x is None or len(x) != dim or np.isnan(x).any()
+        }
+        if not bad:
+            v = np.array(vals)
+            bits = (v @ flat) > 0  # (B, T*P)
+            return pd.Series(list(
+                (bits.reshape(n, n_tables, n_planes) * weights).sum(axis=2)
+            ))
+        good = [i for i in range(n) if i not in bad]
+        out = [zeros] * n
+        if good:
+            v = np.array([vals[i] for i in good])
+            bits = (v @ flat) > 0
+            sigs = (bits.reshape(len(good), n_tables, n_planes) * weights).sum(
+                axis=2
+            )
+            for j, i in enumerate(good):
+                out[i] = sigs[j]
+        return pd.Series(out)
 
     return k
 
@@ -173,18 +204,55 @@ def _unit_sigs_kernel(all_planes):
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("struct<unit: array<double>, sigs: array<long>>")
-    def k(vs: pd.Series) -> pd.DataFrame:
-        if not len(vs):
-            return pd.DataFrame({"unit": [], "sigs": []})
-        v = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+    dim = flat.shape[0]
+    zeros = np.zeros(n_tables, dtype=np.int64)
+
+    def _gemm(v: "np.ndarray"):
         nrm = np.sqrt((v * v).sum(axis=1, keepdims=True))
         unit = v / np.where(nrm == 0.0, np.nan, nrm)
         bits = (unit @ flat) > 0  # (B, T*P)
-        sigs = (bits.reshape(len(vs), n_tables, n_planes) * weights).sum(
-            axis=2
-        )
-        return pd.DataFrame({"unit": list(unit), "sigs": list(sigs)})
+        sigs = (bits.reshape(len(v), n_tables, n_planes) * weights).sum(axis=2)
+        # zero vectors: NULL unit, sig 0 (degenerate-row rule below)
+        zi = np.where(nrm[:, 0] == 0.0)[0]
+        units = list(unit)
+        sig_rows = list(sigs)
+        for i in zi:
+            units[i] = None
+            sig_rows[i] = zeros
+        return units, sig_rows
+
+    @pandas_udf("struct<unit: array<double>, sigs: array<long>>")
+    def k(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        if not n:
+            return pd.DataFrame({"unit": [], "sigs": []})
+        vals = [
+            None if x is None else np.asarray(x, dtype=np.float64) for x in vs
+        ]
+        # Degenerate rows (NULL vector, wrong length, NULL/NaN elements,
+        # zero norm) are kept out of the GEMM — one bad row would
+        # otherwise throw numpy's inhomogeneous-shape error and kill the
+        # task — and uniformly emit (NULL unit, sig 0): the NULL unit
+        # makes every downstream dot NULL, which the cosine thresholds and
+        # top-k windows drop, so garbage can never pair (the fold would
+        # instead let a NaN unit through with NaN cos_sim — and NaN >= t
+        # is TRUE in Spark — so the kernel rule is deliberately SAFER
+        # than bit-parity here; pytest pins the whole family).
+        bad = {
+            i for i, x in enumerate(vals)
+            if x is None or len(x) != dim or np.isnan(x).any()
+        }
+        if not bad:
+            units, sig_rows = _gemm(np.array(vals))
+            return pd.DataFrame({"unit": units, "sigs": sig_rows})
+        units = [None] * n
+        sig_rows = [zeros] * n
+        good = [i for i in range(n) if i not in bad]
+        if good:
+            gu, gs = _gemm(np.array([vals[i] for i in good]))
+            for j, i in enumerate(good):
+                units[i], sig_rows[i] = gu[j], gs[j]
+        return pd.DataFrame({"unit": units, "sigs": sig_rows})
 
     return k
 

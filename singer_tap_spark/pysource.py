@@ -221,8 +221,26 @@ class ArchiveStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.read_table(part.path)
-        t = t.slice(part.start, part.end - part.start)
+        # read ONLY the row groups overlapping [start, end): splitting one
+        # segment into S rowsPerTask slices must not read the file S times
+        # (pq.read_table + slice was S-fold read amplification on the path
+        # whose purpose is partition-parallel scale); the group row counts
+        # come from footer metadata, no data read
+        pf = pq.ParquetFile(part.path)
+        md = pf.metadata
+        groups: list[int] = []
+        first_row = acc = 0
+        for g in range(md.num_row_groups):
+            n = md.row_group(g).num_rows
+            if acc + n > part.start and acc < part.end:
+                if not groups:
+                    first_row = acc
+                groups.append(g)
+            acc += n
+        if not groups:
+            return
+        t = pf.read_row_groups(groups)
+        t = t.slice(part.start - first_row, part.end - part.start)
         if part.envelope == "value":
             # Kafka wire shape: one JSON line per event (vectorized pandas
             # serialization — this envelope exists to drive the engine's

@@ -294,3 +294,22 @@ def test_cli_dedup_stream(spark, tmp_path, capsys):
     main(argv)
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2 == out
+
+
+def test_cli_dedup_stream_delete_only_feed(spark, tmp_path, capsys):
+    """A feed whose only batches are DELETEs (a CDC purge replay) never
+    creates the pairs dir or the cluster table — the CLI must exit 0 with
+    zero counts AFTER the tombstones commit, not crash on the missing
+    paths (a supervisor would retry a run that already succeeded)."""
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [(5, None, "DELETE"), (6, None, "DELETE")],
+        "doc_id long, text string, op string",
+    ).coalesce(1).write.parquet(f"{base}/docs")
+    main([
+        "dedup-stream", "--docs", f"{base}/docs", "--index", f"{base}/idx",
+        "--pairs", f"{base}/pairs", "--checkpoint", f"{base}/ckpt",
+        "--clusters", f"{base}/cc", "--op-col", "op",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"pairs_total": 0, "index_docs": 0, "clusters": 0}

@@ -304,6 +304,65 @@ def test_vectorized_signatures_match_hof(spark, emb):
         assert len(a) > 0
 
 
+def test_signature_kernels_survive_degenerate_vectors(spark):
+    """One NULL / ragged / zero / NaN vector must not kill the Arrow task
+    (numpy throws on the inhomogeneous batch): every degenerate row gets
+    the uniform (NULL unit, sig 0) — matching the fold for NULL vectors,
+    and deliberately SAFER than the fold for NaN-tainted ones (the fold's
+    NaN unit survives into cos_sim where NaN >= t is TRUE in Spark; the
+    kernel's NULL unit nulls every downstream dot, so garbage never
+    pairs).  Clean rows stay bit-equal to the fold."""
+    from singer_tap_spark.ops.similarity import (
+        _all_table_sigs,
+        _hyperplanes,
+        _table_sigs_kernel,
+        _unit_sigs_kernel,
+        with_unit_vec,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None), (3, [1.0, 2.0]),
+         (4, [0.0, 0.0, 0.0]), (5, [float("nan"), 1.0, 2.0]),
+         (6, [-1.0, 4.0, 0.5])],
+        "id long, v array<double>",
+    )
+    u = with_unit_vec(df, "v").select("id", F.col("_unit").alias("v"))
+
+    def norm(rows):
+        out = set()
+        for r in rows:
+            v = (None if r["v"] is None else
+                 tuple(None if x is None or x != x else round(x, 9)
+                       for x in r["v"]))
+            out.add((r["id"], v, r["tbl"], r["sig"]))
+        return out
+
+    hof = norm(_all_table_sigs(u, 3, 2, 2, 42).collect())
+    gemm = norm(_all_table_sigs(u, 3, 2, 2, 42, vectorized=True).collect())
+    clean = {1, 2, 6}  # NULL vector folds to (NULL unit, sig 0) both ways
+    assert {t for t in gemm if t[0] in clean} == \
+        {t for t in hof if t[0] in clean}
+    # ragged/zero/NaN rows: sig 0 in every table (v passes through as-is)
+    assert {(i, t, s) for i, _, t, s in gemm if i not in clean} == {
+        (i, t, 0) for i in (3, 4, 5) for t in (0, 1)
+    }
+
+    planes = [_hyperplanes(3, 2, 42 + t) for t in range(2)]
+    k = _unit_sigs_kernel(planes)
+    got = norm(
+        df.select("id", k(F.col("v")).alias("us")).select(
+            "id", F.col("us.unit").alias("v"),
+            F.posexplode("us.sigs").alias("tbl", "sig"),
+        ).collect()
+    )
+    assert {t for t in got if t[0] in clean} == \
+        {t for t in hof if t[0] in clean}
+    # from RAW vectors every degenerate row is (NULL unit, sig 0)
+    assert {t for t in got if t[0] not in clean} == {
+        (i, None, t, 0) for i in (3, 4, 5) for t in (0, 1)
+    }
+
+
 def test_vectorized_signatures_and_scoring_compose(spark, emb):
     """Both Arrow kernels on at once — the full production configuration
     — still reproduces the all-JVM result."""

@@ -394,6 +394,31 @@ def test_cluster_index_batch_update_equals_full_recompute(spark, tmp_path):
     assert relabeled == {1, 2, 3, 10, 11, 30, 50}
 
 
+def test_cluster_index_int_typed_batch_ids(spark, tmp_path):
+    """Bucket pruning must survive a batch whose id column is a NARROWER
+    type than the stored key: xxhash64(int 5) != xxhash64(bigint 5), so
+    hashing the caller's raw type would prune the WRONG buckets — the
+    affected lookup silently comes back empty and stored members never
+    relabel (no error).  probe_bucket_expr casts to the stored type
+    first; this pins the merge-two-clusters case with int batch ids."""
+    from singer_tap_spark.ops.incremental import ClusterIndex
+
+    idx = ClusterIndex(spark, str(tmp_path / "cc"))
+    idx.update(
+        spark.createDataFrame([(i,) for i in (1, 2, 10, 11)], "doc_id long"),
+        spark.createDataFrame([(1, 2), (10, 11)], "a long, b long"),
+        batch_id=0,
+    )
+    # batch ids/pairs arrive INT-typed (e.g. an int-typed upstream source)
+    idx.update(
+        spark.createDataFrame([(50,)], "doc_id int"),
+        spark.createDataFrame([(50, 2), (50, 11)], "a int, b int"),
+        batch_id=1,
+    )
+    state = _clusters(idx.read_clusters())
+    assert {c for i, c in state if i in (1, 2, 10, 11, 50)} == {1}
+
+
 def test_cluster_index_update_idempotent(spark, tmp_path):
     """Replaying an update against the already-advanced state must no-op
     (LWW tie) — the exactly-once shape the signature indexes share."""
@@ -442,6 +467,128 @@ def test_cluster_index_minhash_pipeline_equals_full(spark, tmp_path):
     # the planted dups really did merge cross-batch clusters
     merged = {c for i, c in want if i >= 100000}
     assert merged and all(c < 30 for c in merged)
+
+
+def test_streaming_plans_namespaced_by_query_and_gcd(spark, tmp_path):
+    """Cluster plan slices are committed under _plans/<query-id>/ — a
+    SECOND stream (fresh checkpoint, new docs dir, SAME index + cluster
+    state: e.g. reprocessing continues from a new feed location) starts
+    at batch 0 again, and without the namespace it would find the first
+    run's update=0/_SUCCESS, merge that stale slice verbatim, and never
+    fold its own batch-0 pairs.  Also: plans of superseded batches are
+    GC'd (only the latest batch's slices survive — one parquet dir per
+    batch forever, otherwise)."""
+    import os
+
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        MinHashIndex,
+        run_streaming_dedup,
+    )
+
+    base = str(tmp_path)
+    d = _docs(spark).where(F.col("doc_id") < 60)
+    idx = MinHashIndex(spark, f"{base}/idx")
+    cc = ClusterIndex(spark, f"{base}/cc")
+
+    # run 1: docs 0..39 plus planted dups of 0..9, two files -> two batches
+    c1 = d.where(F.col("doc_id") < 40)
+    c1.unionByName(
+        d.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    ).repartition(2).write.parquet(f"{base}/docs1")
+    run_streaming_dedup(
+        spark, f"{base}/docs1", idx, f"{base}/pairs1", f"{base}/ckpt1",
+        max_files_per_trigger=1, cluster_index=cc,
+    )
+
+    # GC: exactly one query namespace; only the last batch's plan remains
+    ns = os.listdir(f"{base}/cc/_plans")
+    assert len(ns) == 1
+    assert os.listdir(f"{base}/cc/_plans/{ns[0]}") == ["update=1"]
+
+    # run 2: NEW feed dir + NEW checkpoint, same index/cc — its batch 0
+    # plants dups of docs 40..49 so the fold MUST run (a stale-plan merge
+    # would silently drop these pairs)
+    c2 = d.where(F.col("doc_id") >= 40)
+    c2.unionByName(
+        c2.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    ).coalesce(1).write.parquet(f"{base}/docs2")
+    run_streaming_dedup(
+        spark, f"{base}/docs2", idx, f"{base}/pairs2", f"{base}/ckpt2",
+        max_files_per_trigger=1, cluster_index=cc,
+    )
+    assert len(os.listdir(f"{base}/cc/_plans")) == 2  # fresh namespace
+
+    full = d.unionByName(
+        d.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionByName(
+        c2.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    want = _full_cc(
+        spark, full.select("doc_id"),
+        minhash_lsh_candidates(full, verify_threshold=0.5).select("a", "b"),
+    )
+    got = _clusters(cc.read_clusters())
+    assert got == want
+    # the planted run-2 dup really did fold (identical text -> min-id hub)
+    assert (200040, 40) in got
+
+
+def test_streaming_delete_relabel_honors_threshold(spark, tmp_path):
+    """The post-delete relabel must pair at the STREAM's verify_threshold,
+    not pairs_among's 0.5 default: three docs where A~B (0.818) and A~C
+    (0.814) clear 0.8 but B~C (0.689) sits in [0.5, 0.8) — deleting A
+    must SPLIT the cluster into singletons (B-C is not a 0.8-pair),
+    where a 0.5-threshold relabel would keep them merged."""
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        MinHashIndex,
+        run_streaming_dedup,
+    )
+
+    base = str(tmp_path)
+    core = " ".join(f"tok{i:03d} common body word" for i in range(40))
+    rows = [
+        (1, core, "UPSERT"),  # A
+        (2, core + " " + " ".join(f"beta{i} extra" for i in range(6)), "UPSERT"),
+        (3, core + " " + " ".join(f"gamma{i} other" for i in range(6)), "UPSERT"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, op string"
+    ).coalesce(1).write.parquet(f"{base}/docs")
+
+    idx = MinHashIndex(spark, f"{base}/idx")
+    cc = ClusterIndex(spark, f"{base}/cc")
+
+    def run():
+        run_streaming_dedup(
+            spark, f"{base}/docs", idx, f"{base}/pairs", f"{base}/ckpt",
+            verify_threshold=0.8, max_files_per_trigger=1,
+            cluster_index=cc, op_col="op",
+        )
+
+    run()
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    # scenario preconditions, measured not assumed: A pairs with both at
+    # 0.8; B~C really is a sub-0.8 pair that 0.5 WOULD link
+    p80 = {(r["a"], r["b"]) for r in
+           minhash_lsh_candidates(corpus, verify_threshold=0.8).collect()}
+    p50 = {(r["a"], r["b"]) for r in
+           minhash_lsh_candidates(corpus, verify_threshold=0.5).collect()}
+    assert p80 == {(1, 2), (1, 3)}
+    assert (2, 3) in p50
+    assert _clusters(cc.read_clusters()) == {(1, 1), (2, 1), (3, 1)}
+
+    spark.createDataFrame(
+        [(1, None, "DELETE")], "doc_id long, text string, op string"
+    ).coalesce(1).write.mode("append").parquet(f"{base}/docs")
+    run()
+    assert _clusters(cc.read_clusters()) == {(2, 2), (3, 3)}
 
 
 def test_streaming_dedup_with_deletes(spark, tmp_path):

@@ -246,3 +246,50 @@ def test_fold_arrow_matches_evolve_schema():
         _fold_arrow(
             pa.schema([("a", pa.string())]), pa.schema([("a", pa.int64())])
         )
+
+
+def test_slice_read_is_row_group_selective():
+    """The per-slice read must fetch only the row groups overlapping
+    [start, end) — S slices of one segment previously re-read and decoded
+    the WHOLE file S times.  Pin: every slice across group boundaries
+    yields exactly the naive slice's rows, and a slice's read touches
+    only its overlapping groups (observed via ParquetFile instrumentation)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from singer_tap_spark.pysource import ArchiveStreamReader, _Slice
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "seg.parquet")
+        tbl = pa.table({"i": list(range(100)), "s": [f"v{i}" for i in range(100)]})
+        pq.write_table(tbl, path, row_group_size=30)  # groups: 30/30/30/10
+
+        reader = ArchiveStreamReader.__new__(ArchiveStreamReader)  # read() only
+        touched = []
+        orig = pq.ParquetFile.read_row_groups
+
+        def spy(self, groups, **kw):
+            touched.append(list(groups))
+            return orig(self, groups, **kw)
+
+        pq.ParquetFile.read_row_groups = spy
+        try:
+            for start, end, want_groups in [
+                (0, 100, [0, 1, 2, 3]),   # whole file
+                (0, 30, [0]),             # exactly one group
+                (30, 60, [1]),            # aligned interior group
+                (25, 35, [0, 1]),         # boundary straddle
+                (95, 100, [3]),           # tail remainder
+                (59, 61, [1, 2]),         # two-group straddle
+            ]:
+                touched.clear()
+                sl = _Slice(path, start, end, "typed", tbl.schema)
+                got = pa.Table.from_batches(
+                    list(reader.read(sl)), schema=tbl.schema
+                )
+                assert got.equals(tbl.slice(start, end - start)), (start, end)
+                assert touched == [want_groups], (start, end, touched)
+        finally:
+            pq.ParquetFile.read_row_groups = orig
