@@ -1146,9 +1146,15 @@ def run_streaming_dedup(
     already contains its pairs, recomputes the identical labels, and the
     LWW merge no-ops — still exactly-once with no marker; the narrow
     partial-bucket-swap window on the CLUSTER merge is closed by
-    committing each batch's relabel slice to ``<cluster_index.path>/_plans/update=N``
-    first (``ClusterIndex.update(plan_path=...)``) — a replay that finds
-    the committed plan merges it verbatim.
+    committing each batch's relabel slice to
+    ``<cluster_index.path>/_plans/<query-id>/update=N`` first
+    (``ClusterIndex.update(plan_path=...)``) — a replay that finds the
+    committed plan merges it verbatim.  The query-id namespace comes from
+    the checkpoint's ``metadata`` file: stable across kill-replay of the
+    same checkpoint, fresh for a new one, so a fresh-checkpoint rerun can
+    never merge a stale plan; superseded batches' and earlier runs'
+    namespaces are GC'd (single-writer contract — concurrent streams on
+    one index would collide on batch seqs regardless).
 
     ``op_col``: CDC document feeds.  When set, rows with ``op_col ==
     'DELETE'`` name docs to REMOVE (by ``id_col``; other columns may be
@@ -1158,8 +1164,8 @@ def run_streaming_dedup(
     delete deterministically LOSES to the stored re-add instead of tying
     (max_by ties are undefined).  Cluster deletions relabel affected
     components from ``pairs_among`` over the still-present signatures and
-    commit their plan to ``<cluster_index.path>/_plans/delete=N`` (same
-    crash contract; ``_``-prefixed so state reads never see it).  With ``op_col=None`` every merge keeps seq = batch_id —
+    commit their plan to ``<cluster_index.path>/_plans/<query-id>/delete=N``
+    (same crash contract; ``_``-prefixed so state reads never see it).  With ``op_col=None`` every merge keeps seq = batch_id —
     byte-compatible with indexes built by earlier runs."""
 
     _ns: list = []
@@ -1176,7 +1182,37 @@ def run_streaming_dedup(
         if not _ns:
             with open(os.path.join(checkpoint_dir, "metadata")) as f:
                 qid = json.load(f)["id"]
-            _ns.append(f"{cluster_index.path}/_plans/{qid}")
+            root = f"{cluster_index.path}/_plans"
+            if os.path.isdir(root):
+                legacy = [
+                    e for e in os.listdir(root)
+                    if e.partition("=")[0] in ("update", "delete")
+                ]
+                if legacy:
+                    # pre-namespace layout: we cannot tell whether those
+                    # slices belong to THIS checkpoint (must be honored —
+                    # a kill-replay that recomputes against half-swapped
+                    # state corrupts) or an abandoned one (must be
+                    # ignored — stale-plan merge drops this run's fold).
+                    # Refuse loudly instead of guessing either way.
+                    raise RuntimeError(
+                        f"found pre-namespace plan slices under {root} "
+                        f"({sorted(legacy)}): if this checkpoint resumes "
+                        f"the run that wrote them, move them into "
+                        f"{root}/{qid}/ ; otherwise delete them"
+                    )
+                # single-writer contract (batch seqs would collide
+                # otherwise): a starting stream supersedes earlier runs on
+                # this index — drop their finished namespaces so plan dirs
+                # don't accumulate one-per-run forever.  A resume of the
+                # SAME checkpoint shares this run's qid and is preserved.
+                import shutil
+
+                for e in os.listdir(root):
+                    if e != qid:
+                        shutil.rmtree(os.path.join(root, e),
+                                      ignore_errors=True)
+            _ns.append(f"{root}/{qid}")
         return _ns[0]
 
     def _gc_plans(upto_batch: int) -> None:

@@ -161,20 +161,19 @@ def _table_sigs_kernel(all_planes):
             i for i, x in enumerate(vals)
             if x is None or len(x) != dim or np.isnan(x).any()
         }
-        if not bad:
-            v = np.array(vals)
+
+        def _gemm(v: "np.ndarray"):
             bits = (v @ flat) > 0  # (B, T*P)
-            return pd.Series(list(
-                (bits.reshape(n, n_tables, n_planes) * weights).sum(axis=2)
-            ))
+            return (
+                bits.reshape(len(v), n_tables, n_planes) * weights
+            ).sum(axis=2)
+
+        if not bad:
+            return pd.Series(list(_gemm(np.array(vals))))
         good = [i for i in range(n) if i not in bad]
         out = [zeros] * n
         if good:
-            v = np.array([vals[i] for i in good])
-            bits = (v @ flat) > 0
-            sigs = (bits.reshape(len(good), n_tables, n_planes) * weights).sum(
-                axis=2
-            )
+            sigs = _gemm(np.array([vals[i] for i in good]))
             for j, i in enumerate(good):
                 out[i] = sigs[j]
         return pd.Series(out)
@@ -194,9 +193,9 @@ def _unit_sigs_kernel(all_planes):
     may differ from the HOF fold in final-ulp summation order (pairwise
     vs left-fold sum under the sqrt) — downstream comparisons are
     ``round(cos, 6)`` and signature equality is pytest-pinned on the
-    shipped corpora, same argument as the signature kernel.  A zero
-    vector normalizes to NaNs (no cosine is defined for it on either
-    path)."""
+    shipped corpora, same argument as the signature kernel.  Degenerate
+    rows (NULL/ragged/NaN/zero vectors) uniformly emit (NULL unit,
+    sig 0) — see the in-body comment."""
     planes = np.asarray(all_planes, dtype=np.float64)  # (T, P, dim)
     n_tables, n_planes, _ = planes.shape
     flat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)

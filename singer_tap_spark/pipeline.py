@@ -549,8 +549,15 @@ class CDCPipeline:
         aggs = [F.max("offset").alias("mx"), F.count("*").alias("n")]
         bucketed_sink = isinstance(self.lake, ParquetLakeTable)
         if bucketed_sink:
+            # probe form, not the raw bucket expr: merge() buckets the
+            # POST-align (stored-schema-typed) key, and xxhash64 is
+            # type-sensitive — a wire SCHEMA narrowing the pk (int batch
+            # vs bigint store) would otherwise compute a wrong affected
+            # set and prune the stored rows out of the LWW merge
             aggs.append(
-                F.collect_set(self.lake._bucket_expr()).alias("bks")
+                F.collect_set(
+                    self.lake.probe_bucket_expr(F.col(self.lake.bucket_key))
+                ).alias("bks")
             )
         stats = batch.groupBy("shard").agg(*aggs).collect()
         n_events = sum(r["n"] for r in stats)

@@ -519,7 +519,11 @@ def test_streaming_plans_namespaced_by_query_and_gcd(spark, tmp_path):
         spark, f"{base}/docs2", idx, f"{base}/pairs2", f"{base}/ckpt2",
         max_files_per_trigger=1, cluster_index=cc,
     )
-    assert len(os.listdir(f"{base}/cc/_plans")) == 2  # fresh namespace
+    # fresh namespace; run 1's (finished, superseded) namespace is dropped
+    # at run-2 start under the single-writer contract — plan dirs must not
+    # accumulate one per run
+    ns2 = os.listdir(f"{base}/cc/_plans")
+    assert len(ns2) == 1 and ns2 != ns
 
     full = d.unionByName(
         d.where(F.col("doc_id") < 10).select(
@@ -535,6 +539,35 @@ def test_streaming_plans_namespaced_by_query_and_gcd(spark, tmp_path):
     assert got == want
     # the planted run-2 dup really did fold (identical text -> min-id hub)
     assert (200040, 40) in got
+
+
+def test_streaming_refuses_legacy_plan_layout(spark, tmp_path):
+    """Pre-namespace plan slices directly under _plans/ are ambiguous (a
+    mid-kill resume MUST honor them; a fresh checkpoint MUST ignore them
+    — and the code cannot tell which run wrote them), so starting a
+    stream over them refuses loudly with the migration instruction
+    instead of guessing either way."""
+    import os
+
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        MinHashIndex,
+        run_streaming_dedup,
+    )
+
+    base = str(tmp_path)
+    _docs(spark).where(F.col("doc_id") < 10).coalesce(1).write.parquet(
+        f"{base}/docs"
+    )
+    cc = ClusterIndex(spark, f"{base}/cc")
+    os.makedirs(f"{base}/cc/_plans/update=0", exist_ok=True)
+    open(f"{base}/cc/_plans/update=0/_SUCCESS", "w").close()
+    with pytest.raises(Exception, match="pre-namespace plan slices"):
+        run_streaming_dedup(
+            spark, f"{base}/docs", MinHashIndex(spark, f"{base}/idx"),
+            f"{base}/pairs", f"{base}/ckpt", max_files_per_trigger=1,
+            cluster_index=cc,
+        )
 
 
 def test_streaming_delete_relabel_honors_threshold(spark, tmp_path):
