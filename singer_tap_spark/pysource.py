@@ -14,8 +14,9 @@ checkpointed offsets, partition-parallel reads, and session resume.
 
 Archive contract (Kafka-segment analogue): a flat directory of parquet
 files whose **lexicographic name order is commit order** (the
-:func:`write_archive` helper names them ``seg-<n>.parquet`` with a
-monotonically increasing ``n`` across append calls).  The stream offset is
+:func:`write_archive` helper names them ``seg-<n>-<i>.parquet`` with a
+monotonically increasing ``n`` across append calls and ``i`` numbering
+the files within one call).  The stream offset is
 ``{"file": <abs path>, "row": <rows consumed in that file>}`` — files
 strictly before it are fully consumed.  A file, once written, is immutable
 (same as a closed log segment); new data only ever arrives as
@@ -246,8 +247,14 @@ class ArchiveStreamReader(DataSourceStreamReader):
             # serialization — this envelope exists to drive the engine's
             # from_json decode + DLQ path, not as the throughput path)
             pdf = t.to_pandas()
+            # date_unit MUST be "us" (Spark TimestampType precision): the
+            # engine's LWW order is (ts, seq), so truncating to whole
+            # seconds here could flip LWW winners vs the typed envelope
+            # over the same bytes — a genuinely-later sub-second ts would
+            # collapse to a tie and lose to commit order.  from_json
+            # parses fractional-second ISO timestamps natively.
             lines = pdf.to_json(
-                orient="records", lines=True, date_format="iso", date_unit="s"
+                orient="records", lines=True, date_format="iso", date_unit="us"
             )
             vals = lines.splitlines() if lines else []
             yield pa.RecordBatch.from_arrays(
@@ -375,7 +382,15 @@ def write_archive(df, path: str, *, max_records_per_file: int = 0) -> int:
         try:
             nxt = int(last.split("-")[1]) + 1
         except (IndexError, ValueError):
-            nxt = len(existing)
+            # A foreign .parquet name in the archive would already sort
+            # somewhere in commit order the offset contract can't honor
+            # (a new seg-<n> that sorts BEFORE it would be permanently
+            # skipped once the tail commits past it).  Refuse loudly
+            # rather than mint an ambiguous segment.
+            raise ValueError(
+                f"write_archive: {path!r} contains a non-segment parquet "
+                f"file {last!r}; archives must hold only seg-<n>-<i>.parquet"
+            ) from None
     tmp = tempfile.mkdtemp(dir=path, prefix="._stage-")
     try:
         w = df.write.mode("overwrite")

@@ -37,11 +37,7 @@ QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
 # queries() keys added since the latest driver correctness snapshot was
 # taken (they can't appear in it yet).  Clear this set at the start of the
 # round after the driver records them.
-NEW_SINCE_DRIVER_SNAPSHOT: set[str] = {
-    "docs_dup_clusters_incremental",  # r5
-    "media_video_meta",  # r5
-    "emb_ivf_incremental",  # r5
-}
+NEW_SINCE_DRIVER_SNAPSHOT: set[str] = set()
 
 
 def test_every_oracle_has_a_query():
