@@ -312,20 +312,23 @@ class ParquetLakeTable(LakeTable):
         if self.exists():
             cur_schema = self._load_schema()
             new_schema, changes = evolve_schema(cur_schema, src_schema_nometa)
-            cur = align(self.read_internal(), new_schema).withColumn(
-                OP_COL, F.lit("STORED")
-            )
             src = align(src, T.StructType(new_schema.fields + [
                 T.StructField(OP_COL, T.StringType(), True)]))
-            # prune the target scan to the buckets this batch touches
             src = src.withColumn(BUCKET_COL, self._bucket_expr())
             if affected is None:
                 affected = [
                     r[0] for r in src.select(BUCKET_COL).distinct().collect()
                 ]  # bounded by n_buckets — a metadata-sized collect
-            cur = cur.withColumn(BUCKET_COL, self._bucket_expr()).where(
-                F.col(BUCKET_COL).isin(affected)
-            )
+            # prune the target scan to the buckets this batch touches AT
+            # THE PARTITION LAYER: read_internal filters on the stored
+            # `_bucket` hive column, so Catalyst prunes untouched bucket
+            # directories from the scan entirely.  (Filtering a RECOMPUTED
+            # xxhash column — the pre-r6 shape — evaluated per row after a
+            # full-table scan: at 100 TB every merge read the whole table.)
+            cur = align(
+                self.read_internal(buckets=affected), new_schema
+            ).withColumn(OP_COL, F.lit("STORED"))
+            cur = cur.withColumn(BUCKET_COL, self._bucket_expr())
             # one shuffle: stored row (its _seq is the guard) vs every batch
             # event, latest (ts, _seq) wins — §2.3 #3 sequence semantics
             merged = lww_latest(

@@ -1050,3 +1050,95 @@ def test_streaming_dedup_with_cluster_maintenance(spark, tmp_path):
     )
     after = {(r["doc_id"], r["cluster_id"]) for r in cc.read_clusters().collect()}
     assert after == got
+
+
+def _mirror_equals_primary(idx):
+    prim = {(r.doc_id, r.cluster_id) for r in idx.read_clusters().collect()}
+    mirr = {
+        (r.doc_id, r.cluster_id)
+        for r in idx.mirror.read().select("doc_id", "cluster_id").collect()
+    }
+    assert mirr == prim, (sorted(mirr - prim), sorted(prim - mirr))
+
+
+def test_cluster_mirror_tracks_primary(spark, tmp_path):
+    """The cluster-keyed mirror (r6: bucket-pruned member pulls) must hold
+    exactly the primary's rows after every update/delete — including a
+    cluster MERGE (rows move buckets: the old bucket must shed them) and a
+    hub delete — and a pre-r6 index (no mirror on disk) must backfill on
+    first use and continue correctly."""
+    import shutil
+
+    from singer_tap_spark.ops.incremental import ClusterIndex
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc_id long")
+
+    def pairs(ps):
+        return spark.createDataFrame(list(ps) or [], "a long, b long")
+
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=8)
+    idx.update(
+        ids(1, 2, 3, 10, 11, 20), pairs([(1, 2), (2, 3), (10, 11)]),
+        batch_id=0,
+    )
+    _mirror_equals_primary(idx)
+
+    # merge two clusters: members of {10,11} relabel 10 -> 1, i.e. their
+    # mirror rows MOVE from bucket(10) to bucket(1) — stale-duplicate trap
+    idx.update(ids(50), pairs([(50, 3), (50, 11)]), batch_id=1)
+    _mirror_equals_primary(idx)
+
+    # delete the hub: survivors relabel to the new min, tombstone must
+    # sweep the deleted doc's mirror row out of its old bucket
+    cur_pairs = [(1, 2), (2, 3), (10, 11), (50, 3), (50, 11)]
+
+    def pf(remaining):
+        rem = {r["id"] for r in remaining.collect()}
+        return pairs([(a, b) for a, b in cur_pairs if a in rem and b in rem])
+
+    idx.delete(ids(1), pf, batch_id=2)
+    _mirror_equals_primary(idx)
+
+    # pre-r6 index: drop the mirror from disk, reopen, keep updating —
+    # the backfill (one-time full scan) must restore exact equality
+    shutil.rmtree(f"{idx.path}/by_cluster")
+    idx2 = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=8)
+    idx2.update(ids(60), pairs([(60, 20)]), batch_id=3)
+    _mirror_equals_primary(idx2)
+    state = _clusters(idx2.read_clusters())
+    assert state == _full_cc(
+        spark,
+        ids(2, 3, 10, 11, 20, 50, 60),
+        pairs([(2, 3), (10, 11), (50, 3), (50, 11), (60, 20)]),
+    )
+
+
+def test_cluster_legacy_plan_replay_rebuilds_mirror(spark, tmp_path):
+    """A committed plan slice written BEFORE the mirror existed (no
+    `_old_cid` column) must still replay: the mirror merge falls back to a
+    full-bucket rewrite (correct, one-off), and both tables end equal."""
+    from singer_tap_spark.ops.incremental import ClusterIndex
+
+    def ids(*xs):
+        return spark.createDataFrame([(x,) for x in xs], "doc_id long")
+
+    def pairs(ps):
+        return spark.createDataFrame(list(ps) or [], "a long, b long")
+
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=8)
+    idx.update(ids(1, 2, 10, 11), pairs([(1, 2), (10, 11)]), batch_id=0)
+
+    # legacy-layout committed plan: (doc_id, cluster_id) only
+    plan = str(tmp_path / "plan")
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (1, 1), (2, 1), (50, 1)],
+        "doc_id long, cluster_id long",
+    ).write.parquet(plan)
+    idx.update(ids(50), pairs([(50, 2), (50, 11)]), batch_id=1, plan_path=plan)
+    _mirror_equals_primary(idx)
+    assert _clusters(idx.read_clusters()) == _full_cc(
+        spark,
+        ids(1, 2, 10, 11, 50),
+        pairs([(1, 2), (10, 11), (50, 2), (50, 11)]),
+    )
