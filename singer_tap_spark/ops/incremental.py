@@ -1260,6 +1260,88 @@ class ClusterIndex(_SignatureIndex):
         self.mirror.merge(stamped, batch_id=batch_id, affected=mb)
 
 
+def _plan_namespace(checkpoint_dir: str, plans_root: str) -> str:
+    """Resolve (and police) the plan namespace for a streaming run:
+    ``<plans_root>/<query-id>``, the query id taken from the checkpoint's
+    ``metadata`` file (written at query start).  Stable across kill-replay
+    of the SAME checkpoint (the crash contract needs the replay to FIND
+    its committed plan), fresh for a new checkpoint — without it, a rerun
+    that kept the index but started a new checkpoint would find the OLD
+    run's ``update=0/_SUCCESS``, merge that stale slice verbatim, and
+    silently skip folding its own batch 0.
+
+    Lifecycle (r6): a CLEANLY terminating stream removes its namespace
+    (every batch is checkpoint-committed by then, and a post-clean replay
+    recomputes identical labels against fully-merged state — the
+    documented-safe case), so at start a FOREIGN namespace can mean only
+    two things.  Empty of committed slices: a run died before its first
+    plan commit — nothing to recover, swept silently.  Holding a committed
+    slice: that run died somewhere in the commit→merge window and the
+    cluster state may be HALF-MERGED; destroying the slice would destroy
+    the only recovery artifact (ADVICE r5), so refuse loudly with the
+    recovery options instead of guessing."""
+    with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        qid = json.load(f)["id"]
+    if os.path.isdir(plans_root):
+        import shutil
+
+        legacy = [
+            e for e in os.listdir(plans_root)
+            if e.partition("=")[0] in ("update", "delete")
+        ]
+        if legacy:
+            # pre-namespace layout: we cannot tell whether those slices
+            # belong to THIS checkpoint (must be honored — a kill-replay
+            # that recomputes against half-swapped state corrupts) or an
+            # abandoned one (must be ignored — stale-plan merge drops this
+            # run's fold).  Refuse loudly instead of guessing either way.
+            raise RuntimeError(
+                f"found pre-namespace plan slices under {plans_root} "
+                f"({sorted(legacy)}): if this checkpoint resumes the run "
+                f"that wrote them, move them into {plans_root}/{qid}/ ; "
+                "otherwise delete them"
+            )
+        for e in os.listdir(plans_root):
+            if e == qid:
+                continue
+            ns = os.path.join(plans_root, e)
+            if not os.path.isdir(ns):
+                continue
+            committed = [
+                s
+                for s in os.listdir(ns)
+                if os.path.exists(os.path.join(ns, s, "_SUCCESS"))
+            ]
+            if committed:
+                raise RuntimeError(
+                    f"foreign plan namespace {ns} still holds committed "
+                    f"relabel slices ({sorted(committed)}): the stream "
+                    "that wrote them did not terminate cleanly (a clean "
+                    "run removes its namespace), so the cluster state may "
+                    "be mid-merge.  Resume that run's checkpoint so the "
+                    "committed plan replays, or rebuild the ClusterIndex; "
+                    "delete the namespace only after verifying the state "
+                    "is fully merged"
+                )
+            shutil.rmtree(ns, ignore_errors=True)
+    return os.path.join(plans_root, qid)
+
+
+def _gc_plan_slices(base: str, upto_batch: int) -> None:
+    """Drop plan slices for batches < the one just committed: with
+    foreachBatch only the LAST batch can replay, so older plans are
+    dead weight (one parquet dir per batch forever, otherwise)."""
+    import shutil
+
+    if not os.path.isdir(base):
+        return
+    for e in os.listdir(base):
+        kind, _, num = e.partition("=")
+        if kind in ("update", "delete") and num.isdigit() \
+                and int(num) < upto_batch:
+            shutil.rmtree(os.path.join(base, e), ignore_errors=True)
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     docs_path: str,
@@ -1305,9 +1387,13 @@ def run_streaming_dedup(
     committed plan merges it verbatim.  The query-id namespace comes from
     the checkpoint's ``metadata`` file: stable across kill-replay of the
     same checkpoint, fresh for a new one, so a fresh-checkpoint rerun can
-    never merge a stale plan; superseded batches' and earlier runs'
-    namespaces are GC'd (single-writer contract — concurrent streams on
-    one index would collide on batch seqs regardless).
+    never merge a stale plan; superseded batches' slices are GC'd as the
+    stream advances and the whole namespace is removed on CLEAN
+    termination — so a leftover namespace with a committed slice marks a
+    dirty shutdown and the next (foreign-checkpoint) start refuses rather
+    than destroying the recovery artifact (see :func:`_plan_namespace`;
+    single-writer contract — concurrent streams on one index would
+    collide on batch seqs regardless).
 
     ``op_col``: CDC document feeds.  When set, rows with ``op_col ==
     'DELETE'`` name docs to REMOVE (by ``id_col``; other columns may be
@@ -1324,64 +1410,14 @@ def run_streaming_dedup(
     _ns: list = []
 
     def _plan_dir() -> str:
-        """Plan namespace: ``_plans/<query-id>/`` — the streaming query id
-        from the checkpoint's ``metadata`` file (written at query start).
-        Stable across kill-replay of the SAME checkpoint (the crash
-        contract needs the replay to FIND its committed plan), fresh for a
-        new checkpoint — without it, a rerun that kept the index but
-        started a new checkpoint would find the OLD run's
-        ``update=0/_SUCCESS``, merge that stale slice verbatim, and
-        silently skip folding its own batch 0."""
         if not _ns:
-            with open(os.path.join(checkpoint_dir, "metadata")) as f:
-                qid = json.load(f)["id"]
-            root = f"{cluster_index.path}/_plans"
-            if os.path.isdir(root):
-                legacy = [
-                    e for e in os.listdir(root)
-                    if e.partition("=")[0] in ("update", "delete")
-                ]
-                if legacy:
-                    # pre-namespace layout: we cannot tell whether those
-                    # slices belong to THIS checkpoint (must be honored —
-                    # a kill-replay that recomputes against half-swapped
-                    # state corrupts) or an abandoned one (must be
-                    # ignored — stale-plan merge drops this run's fold).
-                    # Refuse loudly instead of guessing either way.
-                    raise RuntimeError(
-                        f"found pre-namespace plan slices under {root} "
-                        f"({sorted(legacy)}): if this checkpoint resumes "
-                        f"the run that wrote them, move them into "
-                        f"{root}/{qid}/ ; otherwise delete them"
-                    )
-                # single-writer contract (batch seqs would collide
-                # otherwise): a starting stream supersedes earlier runs on
-                # this index — drop their finished namespaces so plan dirs
-                # don't accumulate one-per-run forever.  A resume of the
-                # SAME checkpoint shares this run's qid and is preserved.
-                import shutil
-
-                for e in os.listdir(root):
-                    if e != qid:
-                        shutil.rmtree(os.path.join(root, e),
-                                      ignore_errors=True)
-            _ns.append(f"{root}/{qid}")
+            _ns.append(
+                _plan_namespace(checkpoint_dir, f"{cluster_index.path}/_plans")
+            )
         return _ns[0]
 
     def _gc_plans(upto_batch: int) -> None:
-        """Drop plan slices for batches < the one just committed: with
-        foreachBatch only the LAST batch can replay, so older plans are
-        dead weight (one parquet dir per batch forever, otherwise)."""
-        import shutil
-
-        base = _plan_dir()
-        if not os.path.isdir(base):
-            return
-        for e in os.listdir(base):
-            kind, _, num = e.partition("=")
-            if kind in ("update", "delete") and num.isdigit() \
-                    and int(num) < upto_batch:
-                shutil.rmtree(os.path.join(base, e), ignore_errors=True)
+        _gc_plan_slices(_plan_dir(), upto_batch)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if op_col is not None:
@@ -1457,6 +1493,17 @@ def run_streaming_dedup(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     q.awaitTermination()
+    if _ns:
+        # CLEAN termination (awaitTermination returned without raising:
+        # every batch is checkpoint-committed, merges included): the final
+        # plan slice can no longer be needed — a post-clean replay of that
+        # batch recomputes identical labels against fully-merged state, the
+        # documented-safe case — so remove the namespace.  This is what
+        # lets a LEFTOVER namespace at the next start mean "dirty
+        # shutdown, possibly mid-merge" (see _plan_namespace's refusal).
+        import shutil
+
+        shutil.rmtree(_ns[0], ignore_errors=True)
 
 
 def _self_candidates(keys: DataFrame, on: list[str]) -> DataFrame:

@@ -475,9 +475,10 @@ def test_streaming_plans_namespaced_by_query_and_gcd(spark, tmp_path):
     state: e.g. reprocessing continues from a new feed location) starts
     at batch 0 again, and without the namespace it would find the first
     run's update=0/_SUCCESS, merge that stale slice verbatim, and never
-    fold its own batch-0 pairs.  Also: plans of superseded batches are
-    GC'd (only the latest batch's slices survive — one parquet dir per
-    batch forever, otherwise)."""
+    fold its own batch-0 pairs.  Also (r6): a CLEANLY terminated run
+    removes its whole namespace — plan dirs never accumulate, and a
+    leftover namespace unambiguously means dirty shutdown (refusal case,
+    separate test)."""
     import os
 
     from singer_tap_spark.ops.incremental import (
@@ -503,10 +504,10 @@ def test_streaming_plans_namespaced_by_query_and_gcd(spark, tmp_path):
         max_files_per_trigger=1, cluster_index=cc,
     )
 
-    # GC: exactly one query namespace; only the last batch's plan remains
-    ns = os.listdir(f"{base}/cc/_plans")
-    assert len(ns) == 1
-    assert os.listdir(f"{base}/cc/_plans/{ns[0]}") == ["update=1"]
+    # clean termination removes the run's namespace entirely — every
+    # batch is checkpoint-committed by then, so no replay can need the
+    # final slice, and the next start sees an unambiguous empty root
+    assert os.listdir(f"{base}/cc/_plans") == []
 
     # run 2: NEW feed dir + NEW checkpoint, same index/cc — its batch 0
     # plants dups of docs 40..49 so the fold MUST run (a stale-plan merge
@@ -519,11 +520,7 @@ def test_streaming_plans_namespaced_by_query_and_gcd(spark, tmp_path):
         spark, f"{base}/docs2", idx, f"{base}/pairs2", f"{base}/ckpt2",
         max_files_per_trigger=1, cluster_index=cc,
     )
-    # fresh namespace; run 1's (finished, superseded) namespace is dropped
-    # at run-2 start under the single-writer contract — plan dirs must not
-    # accumulate one per run
-    ns2 = os.listdir(f"{base}/cc/_plans")
-    assert len(ns2) == 1 and ns2 != ns
+    assert os.listdir(f"{base}/cc/_plans") == []
 
     full = d.unionByName(
         d.where(F.col("doc_id") < 10).select(
@@ -1142,3 +1139,49 @@ def test_cluster_legacy_plan_replay_rebuilds_mirror(spark, tmp_path):
         ids(1, 2, 10, 11, 50),
         pairs([(1, 2), (10, 11), (50, 2), (50, 11)]),
     )
+
+
+def test_streaming_refuses_dirty_foreign_namespace(spark, tmp_path):
+    """ADVICE r5: a foreign plan namespace holding a COMMITTED slice means
+    the run that wrote it died inside the commit->merge window (a clean
+    run removes its namespace) — the cluster state may be half-merged and
+    the slice is the only recovery artifact.  A fresh-checkpoint start
+    must refuse loudly instead of rmtree-ing it; a foreign namespace with
+    NO committed slice is swept silently."""
+    import os
+
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        MinHashIndex,
+        run_streaming_dedup,
+    )
+
+    base = str(tmp_path)
+    _docs(spark).where(F.col("doc_id") < 10).coalesce(1).write.parquet(
+        f"{base}/docs"
+    )
+    cc = ClusterIndex(spark, f"{base}/cc")
+    # simulate a dirty shutdown of some other checkpoint's run
+    os.makedirs(f"{base}/cc/_plans/dead-qid/update=3", exist_ok=True)
+    open(f"{base}/cc/_plans/dead-qid/update=3/_SUCCESS", "w").close()
+    with pytest.raises(Exception, match="did not terminate cleanly"):
+        run_streaming_dedup(
+            spark, f"{base}/docs", MinHashIndex(spark, f"{base}/idx"),
+            f"{base}/pairs", f"{base}/ckpt", max_files_per_trigger=1,
+            cluster_index=cc,
+        )
+
+    # an UNcommitted foreign namespace (died before its first plan commit)
+    # carries nothing recoverable: swept, and the run proceeds
+    import shutil
+
+    shutil.rmtree(f"{base}/cc/_plans/dead-qid")
+    os.makedirs(f"{base}/cc/_plans/dead-qid-2/update=0", exist_ok=True)
+    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
+    run_streaming_dedup(
+        spark, f"{base}/docs", MinHashIndex(spark, f"{base}/idx2"),
+        f"{base}/pairs2", f"{base}/ckpt2", max_files_per_trigger=1,
+        cluster_index=cc,
+    )
+    assert not os.path.exists(f"{base}/cc/_plans/dead-qid-2")
+    assert cc.read_clusters().count() == 10
