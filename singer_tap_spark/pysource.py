@@ -57,6 +57,16 @@ executors exactly like a file-source batch; the Python-worker cost is
 Arrow (de)serialization only.  A live production feed still belongs on a
 JVM connector (Kafka); this source is the archived-log replay path and
 the proof that the generic ``source_format`` plumbing runs.
+
+Delivery-order contract (chaos-tested, test_sigkill_chaos_pysource_
+archive_tail): INTRA-batch row order is scrambled — slices run as
+parallel tasks — so the order-independent ``mor`` sink is the honest
+match (its read-time LWW resolves (ts, seq) globally).  CROSS-batch
+order follows segment commit order (offsets only ever advance through
+the lexicographic file sequence, and :func:`write_archive` appends in
+commit order), which is the "a key's DELETE arrives no earlier than its
+other events" premise the ``cow`` sink needs — holds iff the archive
+WRITER emitted segments in commit order.
 """
 
 from __future__ import annotations
