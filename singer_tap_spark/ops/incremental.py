@@ -1566,7 +1566,11 @@ def run_streaming_ann(
     through a kill anywhere in the build window: centroids commit to
     ``_index.json`` before any data merge, and a replayed assignment
     against stored centroids produces the identical rows build() would
-    have merged (LWW tie).
+    have merged (LWW tie).  Pass the index constructed WITHOUT an explicit
+    ``n_centroids`` (the CLI does): the trained quantizer can hold fewer
+    centroids than requested when the first microbatch is smaller than k,
+    and a kill-restart reopen with the explicit mismatching count would
+    then raise the (correct, loud) incompatible-quantizer guard.
 
     ``cluster_index`` / ``op_col``: identical contracts to
     :func:`run_streaming_dedup` — per-batch relabel with the
