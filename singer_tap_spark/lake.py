@@ -114,6 +114,8 @@ class ParquetLakeTable(LakeTable):
         self._data = f"{self.path}/data"
         self._delta = f"{self.path}/delta"
         self._schema_file = f"{self.path}/_schema.json"
+        # session-local rows_after cache (see merge): None = not swept yet
+        self._rows_total: int | None = None
 
     # -- metadata ----------------------------------------------------------
     def exists(self) -> bool:
@@ -373,8 +375,18 @@ class ParquetLakeTable(LakeTable):
             for e in os.listdir(staging)
             if e.startswith(f"{BUCKET_COL}=")
         }
+        swapped = present if affected is None else set(affected) | present
         os.makedirs(self._data, exist_ok=True)
-        for b in present if affected is None else set(affected) | present:
+        # rows_after bookkeeping is INCREMENTAL (r6): footer-count only the
+        # buckets this merge swaps, before and after, against a
+        # once-per-session full sweep — a streaming sink at a 100-TB table
+        # must not pay an O(all files) driver metadata pass per microbatch
+        # for a metrics field.  The cache is in-memory only: single-writer
+        # contract, and a fresh session just re-sweeps once.
+        prev_swapped = (
+            self._bucket_rows(swapped) if self._rows_total is not None else 0
+        )
+        for b in swapped:
             dst = f"{self._data}/{BUCKET_COL}={b}"
             src_dir = f"{staging}/{BUCKET_COL}={b}"
             if os.path.exists(dst):
@@ -383,17 +395,20 @@ class ParquetLakeTable(LakeTable):
                 os.rename(src_dir, dst)
         shutil.rmtree(staging, ignore_errors=True)
 
-        # footer-metadata-only count of the whole table after the swap —
-        # pyarrow on the driver, no Spark job (row counts live in footers)
-        import pyarrow.dataset as pds
+        if self._rows_total is None:
+            # first merge this session: one full footer sweep seeds the cache
+            import pyarrow.dataset as pds
 
-        # ignore_prefixes: pyarrow's default ['.', '_'] would skip the
-        # `_bucket=N` partition dirs (Spark keeps underscore-dirs that
-        # contain '='); only dotfiles are truly hidden here
-        rows_after = pds.dataset(
-            self._data, format="parquet", partitioning="hive",
-            ignore_prefixes=["."],
-        ).count_rows()
+            # ignore_prefixes: pyarrow's default ['.', '_'] would skip the
+            # `_bucket=N` partition dirs (Spark keeps underscore-dirs that
+            # contain '='); only dotfiles are truly hidden here
+            self._rows_total = pds.dataset(
+                self._data, format="parquet", partitioning="hive",
+                ignore_prefixes=["."],
+            ).count_rows()
+        else:
+            self._rows_total += self._bucket_rows(swapped) - prev_swapped
+        rows_after = self._rows_total
 
         self._save_schema(new_schema)
         commit_id = f"parquet-cow-{batch_id}"
@@ -406,6 +421,20 @@ class ParquetLakeTable(LakeTable):
             schema_changes=changes,
         )
 
+
+    def _bucket_rows(self, buckets) -> int:
+        """Footer-metadata row count of the given bucket partitions only —
+        O(affected files) driver reads, no Spark job."""
+        import pyarrow.dataset as pds
+
+        total = 0
+        for b in buckets:
+            d = f"{self._data}/{BUCKET_COL}={b}"
+            if os.path.isdir(d):
+                total += pds.dataset(
+                    d, format="parquet", ignore_prefixes=["."]
+                ).count_rows()
+        return total
 
     # -- maintenance ---------------------------------------------------------
     def _max_ts_from_footers(self):
@@ -463,6 +492,9 @@ class ParquetLakeTable(LakeTable):
         dir before the obsolete delta files are deleted, and duplicate
         tombstones tie on (ts, _seq) — any crash point replays to the same
         state."""
+        # rewriting the base invalidates the session rows_after cache
+        # (resolved rows change as deltas fold / tombstones drop)
+        self._rows_total = None
         retain = retain_tombstones and self.mode == "mor"
         old_delta_files: list[str] = []
         if retain and os.path.exists(self._delta):

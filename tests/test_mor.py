@@ -176,3 +176,33 @@ def test_mor_streaming_cadenced_sink_compaction(spark, tmp_path):
     assert_frames_equal(got, want, KEYS)
     oracle = duck(lww_oracle_sql(f"{base}/log/*/*.parquet"))
     assert_frames_equal(got, oracle[COLS], KEYS)
+
+
+def test_cow_rows_after_incremental_bookkeeping(spark, tmp_path):
+    """merge()'s rows_after is maintained INCREMENTALLY (r6): one full
+    footer sweep per session, then footer-counts of only the swapped
+    buckets — a streaming sink at a 100-TB table must not pay an
+    O(all files) driver metadata pass per microbatch for a metrics field.
+    The cached number must stay exactly equal to the table count across
+    merges, deletes, replays (LWW tie), and a cold-cache reopen."""
+    from singer_tap_spark.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"),
+        key_cols=("conv_id", "turn_idx"), bucket_key="conv_id", n_buckets=8,
+    )
+    log = generate_changelog(spark, 6000, delete_frac=0.15, update_frac=0.4)
+    b1, b2 = log.where("seq < 3000"), log.where("seq >= 3000")
+    s1 = t.merge(b1, batch_id=0)
+    assert s1.rows_after == t.read().count()
+    s2 = t.merge(b2, batch_id=1)
+    assert s2.rows_after == t.read().count()
+    s3 = t.merge(b2, batch_id=1)  # replay: state identical, count stable
+    assert s3.rows_after == s2.rows_after
+    # cold cache (fresh instance): one-key merge re-seeds and stays exact
+    t2 = ParquetLakeTable(
+        spark, str(tmp_path / "t"),
+        key_cols=("conv_id", "turn_idx"), bucket_key="conv_id", n_buckets=8,
+    )
+    s4 = t2.merge(b2.limit(1), batch_id=2)
+    assert s4.rows_after == t2.read().count()
