@@ -661,7 +661,22 @@ class IVFIndex(_SignatureIndex):
     existing centroid (standard IVF practice; FAISS `add` after `train`).
     Under heavy distribution drift rebuild the index; assignments are a
     pure function of (vector, centroids), so a rebuild is one scan, and
-    the LWW merge makes replayed upserts no-ops either way."""
+    the LWW merge makes replayed upserts no-ops either way.
+
+    Scale shape (r6): assignments are kept TWICE in the same LWW merge —
+    the primary bucketed by ``vec_id`` (per-doc lookups, LWW identity) and
+    a ``by_list/`` MIRROR bucketed by ``cid`` — so :meth:`topk_batch`
+    reads ONLY the probed lists' bucket partitions instead of scanning
+    every stored (unit, cid) row per query batch; at 10^9 vectors that is
+    the difference between an n_probe/n_centroids-fraction read and a
+    full-index scan.  A re-ingested vector can change its cid (row moves
+    mirror buckets): the merge's affected set takes the OLD cid from a
+    bucket-pruned primary lookup, and the MIRROR merges FIRST — rows are
+    a pure function of (vector, stored centroids), so a replay after a
+    kill between the two merges re-derives identical rows against the
+    still-lagging primary and heals the mirror without any plan protocol
+    (the property ClusterIndex does not have, which is why IT needs one).
+    Pre-r6 indexes backfill the mirror on first use."""
 
     def __init__(
         self,
@@ -674,6 +689,16 @@ class IVFIndex(_SignatureIndex):
         import numpy as np
 
         super().__init__(spark, path, dict(kind="ivf", n_iter=n_iter), n_buckets)
+        # cid-bucketed MIRROR of the assignments (same rows, maintained in
+        # the same LWW merge): probe reads prune to the probed lists'
+        # buckets instead of scanning every stored unit vector.
+        self.mirror = ParquetLakeTable(
+            spark,
+            f"{self.path}/by_list",
+            key_cols=("doc_id",),
+            bucket_key="cid",
+            n_buckets=self.table.n_buckets,
+        )
         self.n_iter = n_iter
         self._requested_centroids = n_centroids
         self.centroids = None
@@ -696,6 +721,56 @@ class IVFIndex(_SignatureIndex):
         return with_unit_vec(vecs, vec_col).select(
             F.col(id_col).alias("id"), F.col("_unit").alias("v")
         )
+
+    def _ensure_mirror(self) -> None:
+        """One-time backfill for indexes created before the cid-bucketed
+        mirror existed (pre-r6): copy the primary's resolved rows with
+        their ORIGINAL per-row seq so later replayed merges tie identically
+        in both tables.  One full scan, once."""
+        if self.mirror.exists() or not self.exists():
+            return
+        rows = self.table.read_internal()  # doc_id, unit, cid, ts, _seq
+        self.mirror.merge(
+            rows.select(
+                "doc_id",
+                "unit",
+                "cid",
+                "ts",
+                F.col(SEQ_COL).alias("seq"),
+                F.lit("UPSERT").alias("op"),
+            ),
+            batch_id=0,
+        )
+
+    def _old_cids(self, ids: DataFrame) -> DataFrame:
+        """``(cid)`` currently stored for the given doc_ids (column
+        ``doc_id``) — bucket-pruned PRIMARY lookup; the mirror cannot
+        answer a by-doc question without a full scan."""
+        tb = [
+            r[0]
+            for r in ids.select(
+                self.table.probe_bucket_expr(F.col("doc_id")).alias("b")
+            ).distinct().collect()
+        ]
+        return (
+            self.table.read(buckets=tb)
+            .join(ids, "doc_id", "left_semi")
+            .select("cid")
+        )
+
+    def _merge_both(self, stamped: DataFrame, batch_id: int, mb) -> None:
+        """LWW-merge stamped rows into the mirror (pruned to ``mb``) and
+        then the primary.  MIRROR FIRST, deliberately: the affected-bucket
+        derivation reads old cids from the PRIMARY, so on a replay after a
+        kill between the two merges the lookup source still lags the sweep
+        target — the re-derived (identical) rows sweep the true old
+        buckets.  The reverse order would make the replay's old-cid lookup
+        see the advanced primary, miss the true old bucket, and strand a
+        stale mirror row."""
+        self._ensure_meta()
+        self._ensure_mirror()
+        self.mirror.merge(stamped, batch_id=batch_id, affected=mb)
+        self.table.merge(stamped, batch_id=batch_id)
 
     def build(
         self,
@@ -746,18 +821,71 @@ class IVFIndex(_SignatureIndex):
         id_col: str = "vec_id",
     ) -> None:
         """Assign vectors to their nearest stored centroid (Arrow GEMV,
-        batch-shape-independent) and LWW-merge ``(vec_id, unit, cid)``."""
+        batch-shape-independent) and LWW-merge ``(vec_id, unit, cid)`` into
+        the primary and its cid-bucketed mirror (a re-ingested vector's
+        mirror row moves buckets: the old cid's bucket is swept too)."""
         from singer_tap_spark.ops.similarity import _assign_udf
 
         if self.centroids is None:
             raise ValueError("IVFIndex.upsert before build (no centroids)")
         u = self._units(vecs, vec_col, id_col)
+        # consumed by the bucket derivation and both merges: one Arrow
+        # assignment pass, lineage truncated
         rows = u.select(
             F.col("id").alias("doc_id"),
             F.col("v").alias("unit"),
             _assign_udf(self.centroids)(F.col("v")).alias("cid"),
+        ).localCheckpoint(eager=False)
+        pe = self.mirror.probe_bucket_expr
+        b = rows.where(F.col("cid").isNotNull()).select(
+            pe(F.col("cid")).alias("b")
         )
-        self._merge(rows, batch_id)
+        if self.exists():
+            b = b.unionByName(
+                self._old_cids(rows.select("doc_id"))
+                .where(F.col("cid").isNotNull())
+                .select(pe(F.col("cid")).alias("b"))
+            )
+        mb = [r[0] for r in b.distinct().collect()]
+        stamped = rows.select(
+            "doc_id",
+            "unit",
+            "cid",
+            F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts"),
+            F.lit(batch_id).cast("long").alias("seq"),
+            F.lit("UPSERT").alias("op"),
+        )
+        self._merge_both(stamped, batch_id, mb)
+
+    def delete(
+        self, ids: DataFrame, batch_id: int = 0, id_col: str = "doc_id"
+    ) -> None:
+        """CDC-DELETE assignments (overrides the bare tombstone delete:
+        the deleted doc's MIRROR row lives in its cid's bucket, which the
+        tombstone alone does not name)."""
+        if not self.exists():
+            return
+        dele = (
+            ids.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        pe = self.mirror.probe_bucket_expr
+        mb = [
+            r[0]
+            for r in self._old_cids(dele)
+            .where(F.col("cid").isNotNull())
+            .select(pe(F.col("cid")).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        stamped = dele.select(
+            "doc_id",
+            F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts"),
+            F.lit(batch_id).cast("long").alias("seq"),
+            F.lit("DELETE").alias("op"),
+        )
+        self._merge_both(stamped, batch_id, mb)
 
     def read_assignments(self) -> DataFrame:
         """(id, v, c) — the current inverted lists."""
@@ -797,21 +925,39 @@ class IVFIndex(_SignatureIndex):
         b_lists = u_b.select(
             "id", "v", _assign_udf(self.centroids)(F.col("v")).alias("c")
         )
-        i_lists = (
-            self.read_assignments().join(
-                u_b.select("id"), "id", "left_anti"
-            )  # batch rows win for re-ingested ids (new vector, new list)
-            if self.exists()
-            else b_lists.limit(0)
-        )
-        lists = i_lists.unionByName(b_lists)
+        # consumed twice (probed-bucket derivation + the discovery join):
+        # one Arrow probe pass over the batch, lineage truncated
         probes = u_b.select(
             F.col("id").alias("query_id"),
             F.col("v").alias("qv"),
             F.explode(
                 _probes_udf(self.centroids, n_probe)(F.col("v"))
             ).alias("c"),
-        )
+        ).localCheckpoint(eager=False)
+        if self.exists():
+            # only the probed lists can match the centroid equi-join below,
+            # so the index read prunes to THEIR mirror buckets — an
+            # n_probe/n_centroids-fraction read, never a full-index scan
+            self._ensure_mirror()
+            pb = [
+                r[0]
+                for r in probes.select(
+                    self.mirror.probe_bucket_expr(F.col("c")).alias("b")
+                ).distinct().collect()
+            ]
+            i_lists = (
+                self.mirror.read(buckets=pb)
+                .select(
+                    F.col("doc_id").alias("id"),
+                    F.col("unit").alias("v"),
+                    F.col("cid").alias("c"),
+                )
+                # batch rows win for re-ingested ids (new vector, new list)
+                .join(u_b.select("id"), "id", "left_anti")
+            )
+        else:
+            i_lists = b_lists.limit(0)
+        lists = i_lists.unionByName(b_lists)
         score = (
             _pair_dot_udf()(F.col("qv"), F.col("v"))
             if vectorized_scoring

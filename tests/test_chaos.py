@@ -358,12 +358,17 @@ def test_sigkill_chaos_streaming_ann(spark, tmp_path):
         ).collect()
     }
     assert got_cc == want_cc
-    # mirror still exactly tracks the primary through the kills
+    # both mirrors still exactly track their primaries through the kills
     got_mirror = {
         (r["doc_id"], r["cluster_id"])
         for r in cc.mirror.read().select("doc_id", "cluster_id").collect()
     }
     assert got_mirror == got_cc
+    ivf_prim = {(r["doc_id"], r["cid"]) for r in
+                ivf.table.read().select("doc_id", "cid").collect()}
+    ivf_mirr = {(r["doc_id"], r["cid"]) for r in
+                ivf.mirror.read().select("doc_id", "cid").collect()}
+    assert ivf_mirr == ivf_prim
 
     # convergence: a further run emits no new batch partitions
     before = {e for e in os.listdir(f"{base}/pairs") if e.startswith("batch=")}

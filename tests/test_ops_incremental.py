@@ -1324,9 +1324,13 @@ def test_streaming_ann_cluster_ivf_and_deletes(spark, tmp_path):
 
     # phase 2: delete originals 5, 12 (planted copies survive and relabel
     # — the copy's cluster hub was the deleted original) and plain 140
+    # null embedding cast to the TABLE's exact element type: a double-typed
+    # null file next to float-typed upsert files makes the stream-start
+    # schema inference order-dependent (PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+    etype = corpus.schema["embedding"].dataType.simpleString()
     dele_rows = (
         _emb(spark).where(F.col("vec_id").isin(5, 12, 140))
-        .select("vec_id", F.lit(None).cast("array<double>").alias("embedding"))
+        .select("vec_id", F.lit(None).cast(etype).alias("embedding"))
         .withColumn("op", F.lit("DELETE"))
     )
     dele_rows.coalesce(1).write.mode("append").parquet(f"{base}/vecs")
@@ -1346,3 +1350,78 @@ def test_streaming_ann_cluster_ivf_and_deletes(spark, tmp_path):
         os.remove(crc)
     run()
     check(net2)
+
+
+def test_ivf_mirror_tracks_primary(spark, tmp_path):
+    """The cid-bucketed assignments mirror (r6: probe reads prune to the
+    probed lists' buckets) must hold exactly the primary's rows after
+    build, upsert, a RE-INGESTED vector whose cid changes (its mirror row
+    moves buckets — the old bucket must shed it), and a delete; a pre-r6
+    index (no mirror on disk) must backfill on first use; topk answers
+    stay equal to the pre-mirror semantics (probe-all == brute force)."""
+    import shutil
+
+    from singer_tap_spark.ops.incremental import IVFIndex
+    from singer_tap_spark.ops.similarity import brute_force_topk
+
+    def mirror_eq(idx):
+        prim = {(r.doc_id, r.cid, tuple(r.unit)) for r in
+                idx.table.read().select("doc_id", "cid", "unit").collect()}
+        mirr = {(r.doc_id, r.cid, tuple(r.unit)) for r in
+                idx.mirror.read().select("doc_id", "cid", "unit").collect()}
+        assert mirr == prim, (len(mirr), len(prim))
+
+    corpus, batch = _emb(spark, hi=120), _emb(spark, 120, 160)
+    idx = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=8)
+    idx.build(corpus, batch_id=0)
+    mirror_eq(idx)
+    idx.upsert(batch, batch_id=1)
+    mirror_eq(idx)
+
+    # re-ingest vec 5 with vec 130's embedding: near-certainly a different
+    # centroid; even if not, the LWW replacement must leave ONE mirror row
+    donor = _emb(spark, 130, 131).withColumn(
+        "vec_id", F.lit(5).cast("long")
+    )
+    idx.upsert(donor, batch_id=2)
+    mirror_eq(idx)
+    assert idx.mirror.read().where(F.col("doc_id") == 5).count() == 1
+
+    # delete sweeps the mirror row out of its cid bucket
+    idx.delete(spark.createDataFrame([(7,), (121,)], "doc_id long"),
+               batch_id=3)
+    mirror_eq(idx)
+
+    # pre-r6 index: drop the mirror, reopen, query + upsert — backfill
+    shutil.rmtree(f"{idx.path}/by_list")
+    idx2 = IVFIndex(spark, str(tmp_path / "ivf"))
+    queries = _emb(spark, 160, 170)
+    got = {tuple(r) for r in
+           idx2.topk_batch(queries, k=3, n_probe=8).collect()}
+    mirror_eq(idx2)
+    remaining = (
+        corpus.unionByName(batch)
+        .where(~F.col("vec_id").isin(5, 7, 121))
+        .unionByName(donor)
+    )
+    brute = brute_force_topk(remaining.unionByName(queries), queries, k=3)
+    assert got == {tuple(r) for r in brute.collect()}
+
+
+def test_ivf_topk_prunes_probed_buckets(spark, tmp_path):
+    """topk_batch's index-side read must carry a PartitionFilter on the
+    mirror's `_bucket` (only the probed lists' buckets are scanned) —
+    at partial probe the scan node must NOT read the whole index."""
+    import re as _re
+
+    from singer_tap_spark.ops.incremental import IVFIndex
+
+    corpus, batch = _emb(spark, hi=150), _emb(spark, 150, 160)
+    idx = IVFIndex(spark, str(tmp_path / "ivf"), n_centroids=8)
+    idx.build(corpus, batch_id=0)
+    out = idx.topk_batch(batch, k=3, n_probe=2)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # the only partitioned scan in this plan is the mirror (batch-side
+    # frames are unpartitioned) — it must carry a bucket IN-list filter
+    filters = _re.findall(r"PartitionFilters: \[([^\]]*)\]", phys)
+    assert any("_bucket" in f and "IN" in f for f in filters), phys
