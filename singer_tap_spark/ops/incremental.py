@@ -117,6 +117,21 @@ class _SignatureIndex:
             batch_id=batch_id,
         )
 
+    def _read_for_ids(self, sel: DataFrame) -> DataFrame:
+        """Stored rows restricted to the given ids' bucket partitions
+        (``sel``: a frame with column ``id``) — per-doc-id questions like
+        ``pairs_among`` must not scan the whole index (r6; the semi-join
+        itself still applies on top).  ``sel`` is evaluated once extra for
+        the bucket probe (bounded by n_buckets), so callers pass a cheap
+        or lineage-truncated frame."""
+        tb = [
+            r[0]
+            for r in sel.select(
+                self.table.probe_bucket_expr(F.col("id")).alias("b")
+            ).distinct().collect()
+        ]
+        return self.table.read(buckets=tb)
+
     def delete(
         self, ids: DataFrame, batch_id: int = 0, id_col: str = "doc_id"
     ) -> None:
@@ -267,8 +282,16 @@ class MinHashIndex(_SignatureIndex):
         ``ids`` equals the pair set of the restricted corpus.  This is the
         pair oracle :meth:`ClusterIndex.delete` relabels affected
         components with after a member is removed."""
-        sel = ids.select(F.col(id_col).alias("id")).distinct()
-        isig = self.read_signatures().join(sel, "id", "left_semi")
+        sel = (
+            ids.select(F.col(id_col).alias("id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        isig = (
+            self._read_for_ids(sel)
+            .select(F.col("doc_id").alias("id"), "sig", "sh", "sz")
+            .join(sel, "id", "left_semi")
+        )
         bnd = band_rows(isig.select("id", "sig"), self.num_hashes, self.bands)
         cand = _self_candidates(bnd, ["band", "bucket"])
         return _estimate_and_verify(
@@ -368,8 +391,16 @@ class SimHashIndex(_SignatureIndex):
                 f"max_hamming={max_hamming} out of range (see "
                 "simhash_near_dup_pairs)"
             )
-        sel = ids.select(F.col(id_col).alias("id")).distinct()
-        isig = self.read_signatures().join(sel, "id", "left_semi")
+        sel = (
+            ids.select(F.col(id_col).alias("id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        isig = (
+            self._read_for_ids(sel)
+            .select(F.col("doc_id").alias("id"), "simhash")
+            .join(sel, "id", "left_semi")
+        )
         chunks = simhash_chunk_rows(isig, max_hamming).select("id", "ci", "cv")
         cand = _self_candidates(chunks, ["ci", "cv"])
         return (
@@ -626,8 +657,16 @@ class EmbeddingLSHIndex(_SignatureIndex):
         the index's pinned settings to ``ids``."""
         from singer_tap_spark.ops.similarity import _dot
 
-        sel = ids.select(F.col(id_col).alias("id")).distinct()
-        isig = self.read_signatures().join(sel, "id", "left_semi")
+        sel = (
+            ids.select(F.col(id_col).alias("id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        isig = (
+            self._read_for_ids(sel)
+            .select(F.col("doc_id").alias("id"), "unit", "sigs")
+            .join(sel, "id", "left_semi")
+        )
         rows = isig.select("id", F.posexplode("sigs").alias("tbl", "sig"))
         cand = _self_candidates(rows, ["tbl", "sig"])
         units = isig.select("id", "unit")

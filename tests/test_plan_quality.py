@@ -471,3 +471,22 @@ def test_merge_cur_scan_partition_pruned(spark, tmp_path):
     assert "read_internal(buckets=affected)" in inspect.getsource(
         ParquetLakeTable.merge
     )
+
+
+def test_pairs_among_prunes_index_buckets(spark, tmp_path):
+    """pairs_among answers a per-doc-id question (pairs AMONG these ids),
+    so its index read must prune to those ids' bucket partitions — the
+    delete path runs it per CDC batch and must not scan the whole index."""
+    from singer_tap_spark.ops.incremental import MinHashIndex
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "mh"))
+    idx.upsert(docs, batch_id=0)
+    sel = docs.select("doc_id").limit(5).localCheckpoint()
+    out = idx.pairs_among(sel)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", phys)
+    assert any("_bucket" in f and "IN" in f for f in filters), phys
