@@ -268,3 +268,9 @@ def test_cluster_index_random_batches_match_union_find(spark, tmp_path_factory, 
         got = {r["doc_id"]: r["cluster_id"]
                for r in idx.read_clusters().collect()}
         assert got == {i: find(i) for i in parent}, f"batch {bid}"
+    # r6: the cluster-keyed mirror must equal the primary after ANY
+    # batching (member pulls are answered from it — a stale row there
+    # silently shrinks a future affected subgraph)
+    mirr = {r["doc_id"]: r["cluster_id"]
+            for r in idx.mirror.read().select("doc_id", "cluster_id").collect()}
+    assert mirr == {i: find(i) for i in parent}
