@@ -229,11 +229,17 @@ def _dedup_stream(args) -> None:
     from singer_tap_spark.ops.incremental import (
         ClusterIndex,
         MinHashIndex,
+        SimHashIndex,
         run_streaming_dedup,
     )
 
     spark = get_spark("singer-tap-spark-dedup-stream")
-    idx = MinHashIndex(spark, args.index)
+    if args.index_kind == "simhash":
+        idx = SimHashIndex(spark, args.index)
+        mk = {"max_hamming": args.max_hamming}
+    else:
+        idx = MinHashIndex(spark, args.index)
+        mk = {"verify_threshold": args.verify_threshold}
     cc = ClusterIndex(spark, args.clusters) if args.clusters else None
     run_streaming_dedup(
         spark,
@@ -243,11 +249,11 @@ def _dedup_stream(args) -> None:
         args.checkpoint,
         text_col=args.text_col,
         id_col=args.id_col,
-        verify_threshold=args.verify_threshold,
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.follow,
         cluster_index=cc,
         op_col=args.op_col,
+        match_kwargs=mk,
     )
     # a delete-only (or empty) feed legitimately never creates the pairs
     # dir or the cluster table — report zeros instead of crashing AFTER
@@ -490,7 +496,14 @@ def main(argv: list[str] | None = None) -> None:
                          "the persisted near-dup clustering")
     ds.add_argument("--text-col", default="text")
     ds.add_argument("--id-col", default="doc_id")
-    ds.add_argument("--verify-threshold", type=float, default=0.5)
+    ds.add_argument("--index-kind", choices=("minhash", "simhash"),
+                    default="minhash",
+                    help="signature flavor: MinHash+Jaccard verify or "
+                         "SimHash+Hamming verify (same streaming machinery)")
+    ds.add_argument("--verify-threshold", type=float, default=0.5,
+                    help="minhash: exact-Jaccard verify threshold")
+    ds.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash: Hamming distance bound")
     ds.add_argument("--max-files-per-trigger", type=int, default=64)
     ds.add_argument("--op-col", default=None,
                     help="CDC document feeds: rows with this column == "

@@ -325,8 +325,16 @@ class SimHashIndex(_SignatureIndex):
         batch_id: int = 0,
         text_col: str = "text",
         id_col: str = "doc_id",
+        signatures: DataFrame | None = None,
     ) -> None:
-        self._merge(self._signatures(docs, text_col, id_col), batch_id)
+        """``signatures``: a precomputed :meth:`_signatures` frame shared
+        with :meth:`dedup_batch` (the streaming drivers' once-per-batch
+        signature contract)."""
+        self._merge(
+            signatures if signatures is not None
+            else self._signatures(docs, text_col, id_col),
+            batch_id,
+        )
 
     def read_signatures(self) -> DataFrame:
         """(id, simhash) — the current index state."""
@@ -338,6 +346,7 @@ class SimHashIndex(_SignatureIndex):
         text_col: str = "text",
         id_col: str = "doc_id",
         max_hamming: int = 3,
+        signatures: DataFrame | None = None,
     ) -> DataFrame:
         """(a, b, hamming) pairs of ``batch`` against (index ∪ batch),
         hamming <= ``max_hamming`` — chunk-key discovery + exact
@@ -349,9 +358,11 @@ class SimHashIndex(_SignatureIndex):
                 f"max_hamming={max_hamming} out of range (see "
                 "simhash_near_dup_pairs)"
             )
-        bsig = self._signatures(batch, text_col, id_col).select(
-            F.col("doc_id").alias("id"), "simhash"
+        raw = (
+            signatures if signatures is not None
+            else self._signatures(batch, text_col, id_col)
         )
+        bsig = raw.select(F.col("doc_id").alias("id"), "simhash")
         isig = self.read_signatures() if self.exists() else bsig.limit(0)
         # one anti-join, reused for lookup AND chunking (two separate
         # subtrees would scan the index table twice per batch)
@@ -1552,7 +1563,7 @@ def _gc_plan_slices(base: str, upto_batch: int) -> None:
 def run_streaming_dedup(
     spark: SparkSession,
     docs_path: str,
-    index: MinHashIndex,
+    index: "MinHashIndex | SimHashIndex",
     pairs_path: str,
     checkpoint_dir: str,
     text_col: str = "text",
@@ -1562,6 +1573,7 @@ def run_streaming_dedup(
     available_now: bool = True,
     cluster_index: "ClusterIndex | None" = None,
     op_col: str | None = None,
+    match_kwargs: dict | None = None,
 ) -> None:
     """Streaming corpus dedup — the CDC half and the ops half composed:
     tail a parquet document stream; per microbatch, near-dup pairs against
@@ -1612,8 +1624,23 @@ def run_streaming_dedup(
     components from ``pairs_among`` over the still-present signatures and
     commit their plan to ``<cluster_index.path>/_plans/<query-id>/delete=N``
     (same crash contract; ``_``-prefixed so state reads never see it).  With ``op_col=None`` every merge keeps seq = batch_id —
-    byte-compatible with indexes built by earlier runs."""
+    byte-compatible with indexes built by earlier runs.
 
+    ``match_kwargs`` (r6): the pair-matching knobs forwarded verbatim to
+    BOTH ``dedup_batch`` and the delete path's ``pairs_among`` (the
+    same-knobs rule that keeps stream == one-shot).  Defaults to
+    ``{"verify_threshold": verify_threshold}`` — the MinHash surface,
+    unchanged.  Pass a :class:`SimHashIndex` with
+    ``match_kwargs={"max_hamming": H}`` to run the Hamming flavor through
+    the identical exactly-once machinery (every argument in the
+    module docstring is signature-family-generic: anti-joined re-ingested
+    ids, idempotent batch=N overwrites, LWW merges)."""
+
+    mk = (
+        dict(match_kwargs)
+        if match_kwargs is not None
+        else {"verify_threshold": verify_threshold}
+    )
     _ns: list = []
 
     def _plan_dir() -> str:
@@ -1639,15 +1666,13 @@ def run_streaming_dedup(
             )
             if not dele.isEmpty():
                 if cluster_index is not None and cluster_index.exists():
-                    # the SAME threshold the update path pairs at: a
-                    # looser default here would link docs during the
+                    # the SAME matching knobs the update path pairs at: a
+                    # looser setting here would link docs during the
                     # post-delete relabel that dedup_batch never paired,
                     # merging clusters the one-shot recompute keeps apart
                     cluster_index.delete(
                         dele,
-                        lambda r: index.pairs_among(
-                            r, id_col="id", verify_threshold=verify_threshold
-                        ),
+                        lambda r: index.pairs_among(r, id_col="id", **mk),
                         batch_id=seq_del,
                         plan_path=f"{_plan_dir()}/delete={batch_id}",
                     )
@@ -1670,8 +1695,8 @@ def run_streaming_dedup(
                 docs,
                 text_col=text_col,
                 id_col=id_col,
-                verify_threshold=verify_threshold,
                 signatures=sig,
+                **mk,
             )
             pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
             index.upsert(docs, batch_id=seq_up, signatures=sig)

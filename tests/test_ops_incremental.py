@@ -1425,3 +1425,66 @@ def test_ivf_topk_prunes_probed_buckets(spark, tmp_path):
     # frames are unpartitioned) — it must carry a bucket IN-list filter
     filters = _re.findall(r"PartitionFilters: \[([^\]]*)\]", phys)
     assert any("_bucket" in f and "IN" in f for f in filters), phys
+
+
+def test_streaming_dedup_simhash_flavor(spark, tmp_path):
+    """run_streaming_dedup with a SimHashIndex (r6: match_kwargs makes the
+    driver signature-family-generic): the union of per-microbatch pair
+    outputs equals the one-shot simhash_near_dup_pairs of the final
+    corpus, the cluster fold equals the one-shot CC, and a DELETE batch
+    relabels at the SAME max_hamming through pairs_among."""
+    from singer_tap_spark.ops.dedup_text import simhash_near_dup_pairs
+    from singer_tap_spark.ops.incremental import (
+        ClusterIndex,
+        SimHashIndex,
+        run_streaming_dedup,
+    )
+
+    base = str(tmp_path)
+    d = _docs(spark).where(F.col("doc_id") < 80)
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    idx = SimHashIndex(spark, f"{base}/idx")
+    cc = ClusterIndex(spark, f"{base}/cc")
+
+    def run():
+        run_streaming_dedup(
+            spark, f"{base}/docs", idx, f"{base}/pairs", f"{base}/ckpt",
+            max_files_per_trigger=1, cluster_index=cc, op_col="op",
+            match_kwargs={"max_hamming": 3},
+        )
+
+    def check(net):
+        assert {r["id"] for r in idx.read_signatures().select("id").collect()} \
+            == {r["doc_id"] for r in net.select("doc_id").collect()}
+        got_cc = _clusters(cc.read_clusters())
+        want_cc = _full_cc(
+            spark, net.select("doc_id"),
+            simhash_near_dup_pairs(net, max_hamming=3).select("a", "b"),
+        )
+        assert got_cc == want_cc
+
+    corpus.withColumn("op", F.lit("UPSERT")).repartition(2).write.parquet(
+        f"{base}/docs"
+    )
+    run()
+    got = {(r["a"], r["b"]) for r in
+           spark.read.parquet(f"{base}/pairs").select("a", "b").collect()}
+    want = {(r["a"], r["b"]) for r in
+            simhash_near_dup_pairs(corpus, max_hamming=3)
+            .select("a", "b").collect()}
+    assert got == want and len(got) > 0
+    check(corpus)
+
+    # delete an original whose planted copy survives (hub relabel via
+    # pairs_among at the stream's max_hamming), plus a plain doc
+    dele = spark.createDataFrame(
+        [(3, None, "DELETE"), (40, None, "DELETE")],
+        "doc_id long, text string, op string",
+    )
+    dele.coalesce(1).write.mode("append").parquet(f"{base}/docs")
+    run()
+    check(corpus.where(~F.col("doc_id").isin(3, 40)))
