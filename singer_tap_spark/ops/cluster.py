@@ -130,13 +130,20 @@ def near_dup_clusters(
                 )
             )
             if checkpoint == "local":
-                new = new.localCheckpoint(eager=True)
+                # eager=False (r7): the convergence count below is the
+                # round's ONE action — it computes the round plan and
+                # stores the checkpoint blocks as a side effect, where
+                # eager=True spent a separate materialization job per
+                # round first (2 actions/round -> 1; the CC entries are
+                # fixed-overhead-bound at ~7 rounds each).
+                new = new.localCheckpoint(eager=False)
             elif checkpoint == "reliable":
                 new = new.checkpoint(eager=True)
             # labels only decrease: zero strict decreases == fixpoint.  The
-            # count is a filter over the just-materialized checkpoint blocks
-            # (no join, no shuffle); without checkpointing it re-runs the
-            # round's plan — tests-only mode, documented above.
+            # count materializes the round's checkpoint blocks and filters
+            # them in the same job (no join, no shuffle); without
+            # checkpointing it re-runs the round's plan — tests-only mode,
+            # documented above.
             changed = new.where(F.col("label") < F.col("_old")).count()
             labels = new.select("id", "label")
             if changed == 0:

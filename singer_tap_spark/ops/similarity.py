@@ -69,25 +69,94 @@ def with_unit_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _unit_fold_np(m: "np.ndarray") -> "np.ndarray":
+    """L2-normalize a (rows, dim) float64 block with the squared-norm
+    summed COLUMN-SEQUENTIALLY — the same left-to-right element order as
+    the JVM ``aggregate`` fold, so the units are bit-identical to
+    :func:`with_unit_vec` (see :func:`_unit_fold_kernel`, which wraps this
+    order for the Arrow path)."""
+    sq = m * m
+    acc = np.zeros(len(m), dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc = acc + sq[:, j]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return m / np.sqrt(acc)[:, None]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus (self-matches
-    excluded).  Output: (query_id, neighbor_id, cos_sim, rank)."""
-    c = with_unit_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
-    )
-    q = with_unit_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(_dot("qv", "cv"), 6).alias("cos_sim"))
-    )
+    excluded).  Output: (query_id, neighbor_id, cos_sim, rank).
+
+    ``impl='arrow'`` (default, r7): the query set is collected and
+    unit-normalized driver-side (the SAME small-side constraint the
+    previous form's ``broadcast(q)`` imposed), and one ``mapInPandas``
+    pass over the corpus normalizes each vector and scores it against
+    every query in numpy — normalization and dot products use the
+    column-sequential left-fold order, so every emitted score is
+    BIT-identical to the JVM HOF fold (rounding stays Catalyst-side) and
+    the DuckDB oracles hold unchanged (pytest: impl parity at every
+    shipped sf).  The old plan attached both unit vectors to every
+    (query, corpus) pair and folded the dot INTERPRETED per element
+    (~|q| x n x dim lambda steps — 11.7 s at sf1.0 for 8 x 20k x 64);
+    here each corpus vector crosses the Python boundary once and only
+    slim (ids, score) rows come back.  Degenerate rows (NULL vector)
+    are dropped from scoring — clean-corpus contract, same family as
+    :func:`_unit_fold_kernel`.  ``impl='expr'`` keeps the pure-Catalyst
+    join form (parity-tested)."""
+    if impl == "arrow":
+        idt = corpus.schema[id_col].dataType.simpleString()
+        qrows = queries.select(id_col, vec_col).collect()
+        qs = [
+            (r[0], _unit_fold_np(np.asarray([r[1]], dtype=np.float64))[0])
+            for r in qrows
+            if r[1] is not None and None not in r[1]
+        ]
+
+        def score(it):
+            for pdf in it:
+                vals = pdf[vec_col]
+                ok = vals.notna().to_numpy()
+                if not ok.any():
+                    continue
+                ids = pdf[id_col].to_numpy()[ok]
+                m = _unit_fold_np(
+                    np.vstack(vals.to_numpy()[ok]).astype(np.float64)
+                )
+                for qid, qv in qs:
+                    prod = m * qv
+                    acc = np.zeros(len(m), dtype=np.float64)
+                    for j in range(m.shape[1]):  # left-fold order
+                        acc = acc + prod[:, j]
+                    yield pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids, "cos_sim": acc}
+                    )
+
+        scored = corpus.select(id_col, vec_col).mapInPandas(
+            score, f"query_id {idt}, neighbor_id {idt}, cos_sim double"
+        ).where(F.col("neighbor_id") != F.col("query_id")).select(
+            "query_id", "neighbor_id",
+            F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+        )
+    elif impl == "expr":
+        c = with_unit_vec(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
+        )
+        q = with_unit_vec(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
+        )
+        scored = (
+            c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", F.round(_dot("qv", "cv"), 6).alias("cos_sim"))
+        )
+    else:
+        raise ValueError(f"unknown brute_force_topk impl: {impl!r}")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -495,6 +564,101 @@ def _probes_udf(cents: np.ndarray, n_probe: int):
     return probes
 
 
+def _unit_fold_kernel():
+    """Arrow normalize kernel, BIT-EXACT to the :func:`with_unit_vec` HOF
+    fold: float32 -> float64 casts are exact, the squared-norm is summed in
+    the SAME left-to-right element order as the JVM ``aggregate`` fold
+    (column-sequential accumulation over a row batch — each IEEE add is the
+    identical op on identical operands), and sqrt/divide are correctly-
+    rounded IEEE ops in both runtimes.  So for every well-formed vector the
+    unit values are bit-identical to the HOF form — which is what lets the
+    vectorized IVF leg train the SAME k-means quantizer and emit the SAME
+    rows as the HOF leg (pytest: test_vectorized_scoring_matches_hof,
+    test_unit_fold_kernel_bit_exact).  Degenerate rows (NULL vector, NULL
+    elements) emit NULL — the fast leg drops them from candidate scoring
+    (the HOF fold would carry a null-tainted unit into null scores); NaN
+    elements flow through IEEE-identically in both."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def unit(vs: pd.Series) -> pd.Series:
+        out = [None] * len(vs)
+        byd: dict[int, list[int]] = {}
+        arrs = {}
+        for i, x in enumerate(vs):
+            if x is None:
+                continue
+            try:
+                a = np.asarray(x, dtype=np.float64)
+            except (TypeError, ValueError):
+                continue  # null elements: unrepresentable, emit NULL
+            if a.ndim != 1:
+                continue
+            byd.setdefault(len(a), []).append(i)
+            arrs[i] = a
+        for d, idxs in byd.items():
+            m = np.vstack([arrs[i] for i in idxs])
+            sq = m * m
+            acc = np.zeros(len(idxs), dtype=np.float64)
+            for j in range(d):  # left-fold order, vectorized across rows
+                acc = acc + sq[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                um = m / np.sqrt(acc)[:, None]
+            for row, i in enumerate(idxs):
+                out[i] = um[row]
+        return pd.Series(out, dtype=object)
+
+    return unit
+
+
+def _list_topk_cogroup_fn(k: int):
+    """Per-centroid-list scoring kernel for the vectorized IVF leg: one
+    cogroup block = (queries probing list c) x (members of list c).  The
+    dot products are accumulated COLUMN-SEQUENTIALLY (one outer product
+    per dimension) — the same left-fold order as the JVM HOF, so the raw
+    scores are bit-identical to the HOF leg's pre-round values; rounding
+    stays Catalyst-side (``F.round(cos_sim, 6)`` after the cogroup), so
+    the emitted doubles match the HOF leg exactly.  Each neighbor lives in
+    exactly ONE list, so emitting only the per-(query, list) top-k (by the
+    global ordering key: rounded score desc, neighbor id asc) preserves
+    the global top-k — the union over a query's probed lists is a superset
+    of its global winners.  Self-pairs are masked before selection (the
+    HOF leg filters them pre-window).  Degenerate (NULL-unit) rows were
+    dropped upstream — see :func:`_unit_fold_kernel`."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        l_ids = right["id"].to_numpy()
+        order = np.argsort(l_ids, kind="stable")  # ascending ids: tie-break
+        l_ids = l_ids[order]
+        lv = np.vstack(right["v"].to_numpy()[order])
+        q_ids = left["query_id"].to_numpy()
+        qv = np.vstack(left["qv"].to_numpy())
+        acc = np.zeros((len(qv), len(lv)), dtype=np.float64)
+        for d in range(lv.shape[1]):  # left-fold order, one outer per dim
+            acc += np.multiply.outer(qv[:, d], lv[:, d])
+        self_mask = q_ids[:, None] == l_ids[None, :]
+        sel = np.where(self_mask, -np.inf, np.round(acc, 6))
+        kk = min(k, sel.shape[1])
+        idx = np.argsort(-sel, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(qv)), kk)
+        cols = idx.ravel()
+        keep = ~self_mask[rows, cols]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, kk)[keep],
+                "neighbor_id": l_ids[cols][keep],
+                "cos_sim": acc[rows, cols][keep],
+            }
+        )
+
+    return fn
+
+
 def _pair_dot_udf():
     """Vectorized pair scoring: batched numpy row-wise dot of two unit
     vectors.  ~10x the interpreted HOF fold on candidate-heavy plans; the
@@ -556,6 +720,61 @@ def ivf_ann_topk(
 
         n, _ = _corpus_stats(corpus, vec_col, need_n=True)
         n_centroids = max(8, math.isqrt(n))
+    if vectorized_scoring:
+        # the vectorized scale leg (r7): same math, different execution
+        # shape.  The HOF leg below attaches BOTH unit vectors to every
+        # candidate pair (a broadcast join emitting |pairs| x 2 x dim
+        # doubles straight into an Arrow per-pair scorer — at 20k vectors /
+        # 141 lists that is ~5.7M pairs x ~1KB = 5.7 GB through the Python
+        # boundary, measured 52 s at sf1.0).  Here each vector crosses the
+        # boundary ~(1 + n_probe) times instead of once per pair: one
+        # cogroup on the centroid id scores a whole inverted list against
+        # its probing queries in numpy (guide §8: decide with small rows,
+        # move big rows once), and only per-(query, list) top-k SLIM rows
+        # (ids + raw score) come back.  Normalization, quantizer, scores
+        # and tie-breaks are bit-identical to the HOF leg (see
+        # _unit_fold_kernel / _list_topk_cogroup_fn; pytest-pinned by
+        # test_vectorized_scoring_matches_hof at every shipped sf).
+        idt = corpus.schema[id_col].dataType.simpleString()
+        u = corpus.select(
+            F.col(id_col).alias("id"),
+            _unit_fold_kernel()(F.col(vec_col)).alias("v"),
+        ).localCheckpoint(eager=False)  # one normalize pass feeds kmeans+meta
+        cents = np.array(
+            _kmeans_centroids(u, n_centroids, n_iter), dtype=np.float64
+        )
+        meta = u.where(F.col("v").isNotNull()).select(
+            "id", "v", _probes_udf(cents, n_probe)(F.col("v")).alias("ps")
+        ).localCheckpoint(eager=False)  # consumed by both cogroup sides
+        # assigned list == first probe (argmin == stable-argsort[0])
+        lists_side = meta.select(
+            F.col("ps")[0].alias("c"), "id", "v"
+        )
+        probe_side = meta.select(
+            F.explode("ps").alias("c"),
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+        )
+        scored = (
+            probe_side.groupBy("c")
+            .cogroup(lists_side.groupBy("c"))
+            .applyInPandas(
+                _list_topk_cogroup_fn(k),
+                f"query_id {idt}, neighbor_id {idt}, cos_sim double",
+            )
+            .select(
+                "query_id", "neighbor_id",
+                F.round(F.col("cos_sim"), 6).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
     u = with_unit_vec(corpus, vec_col).select(
         F.col(id_col).alias("id"), F.col("_unit").alias("v")
     )

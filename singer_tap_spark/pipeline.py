@@ -975,17 +975,35 @@ class CDCPipeline:
                     )
                     .drop("_prev_ts", "_prev_seq")
                 )
+            # r7: `changed` used to be consumed by TWO actions (the feed-
+            # partition write, then the state merge), and the whole
+            # upstream — batch LWW shuffle + state read + key join —
+            # re-executed per action: the batch paid its own dedup twice
+            # (measured ~13 s of LWW per extra pass on the 20M-event sf1.0
+            # feed).  The feed partition IS a materialization of exactly
+            # the rows the state merge needs, so the merge now reads the
+            # just-written feed files back instead of recomputing (guide
+            # §5: a parquet write-and-read-back is the cheapest lineage
+            # cut; a .persist() was measured ~8 s slower — columnar cache
+            # serialization of 14.5M rows costs more than the re-read).
+            # Crash contract unchanged: feed _SUCCESS -> state merge ->
+            # marker, in that order; on the feed-committed replay branch
+            # the full LWW'd batch re-merges as before (the preserved feed
+            # partition is NOT re-read there — it may predate a partial
+            # state merge, see docstring).
+            src_cols = [*key_cols, "op", *payload, "ts", "seq"]
             if not feed_committed:
                 # feed partition FIRST (idempotent per-batch overwrite),
                 # state merge after
-                out = changed.select(*key_cols, "op", *payload, "ts", "seq")
-                out.write.mode("overwrite").parquet(feed_dir)
-            # else: feed committed but marker absent — state may be partially
-            # merged; changed stays = b (full batch) and the feed partition
-            # is preserved (see docstring)
+                changed.select(*src_cols).write.mode("overwrite").parquet(
+                    feed_dir
+                )
+                merge_src = self.spark.read.parquet(feed_dir)
+            else:
+                merge_src = changed.select(*src_cols)
             # tombstones persist: the LWW op folds into a payload column so
             # DELETE winners stay as state rows guarding late older events
-            sb = changed.withColumn("_feed_op", F.col("op")).withColumn(
+            sb = merge_src.withColumn("_feed_op", F.col("op")).withColumn(
                 "op", F.lit("UPSERT")
             )
             state.merge(sb, batch_id)

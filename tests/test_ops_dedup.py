@@ -285,6 +285,65 @@ def test_vectorized_scoring_matches_hof(spark, emb):
         assert len(a) > 0
 
 
+def test_unit_fold_kernel_bit_exact(spark, emb):
+    """r7: the vectorized IVF leg routes normalization through an Arrow
+    kernel whose column-sequential accumulation must reproduce the JVM HOF
+    fold BIT-exactly (same float64 casts, same left-to-right adds, IEEE
+    sqrt/divide) — this is what guarantees the fast leg trains the same
+    quantizer and emits the same rows as the HOF leg.  Compared with <=>
+    (null-safe equality) element-wise, not round-trip strings."""
+    from singer_tap_spark.ops.similarity import _unit_fold_kernel, with_unit_vec
+
+    hof = with_unit_vec(emb).select("vec_id", F.col("_unit").alias("v"))
+    ker = emb.select(
+        "vec_id", _unit_fold_kernel()(F.col("embedding")).alias("v")
+    )
+    diff = (
+        hof.alias("h")
+        .join(ker.alias("k"), "vec_id")
+        .where(~F.expr("h.v <=> k.v"))
+        .count()
+    )
+    assert diff == 0
+    # degenerate rows: a NULL vector emits NULL (dropped from the fast
+    # leg's candidate scoring); NULL elements round-trip Arrow as NaN and
+    # come back as an all-NULL array — the same all-null unit the HOF fold
+    # produces for a null-tainted vector
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0, None, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["v"]
+        for r in bad.select(
+            "vec_id", _unit_fold_kernel()(F.col("embedding")).alias("v")
+        ).collect()
+    }
+    assert got == {1: None, 2: [None, None, None]}
+
+
+def test_ivf_fast_leg_deterministic_across_parallelism(spark, emb):
+    """r7: the cogroup-scored vectorized IVF leg must stay deterministic
+    at any input partitioning (per-(query,list) top-k selection and the
+    outer-product fold are batch-shape-independent by construction)."""
+    from singer_tap_spark.ops.similarity import ivf_ann_topk
+
+    corpus = emb.where(F.col("vec_id") < 100)
+    a = {
+        tuple(r)
+        for r in ivf_ann_topk(
+            corpus, n_probe=3, vectorized_scoring=True
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ivf_ann_topk(
+            corpus.repartition(7), n_probe=3, vectorized_scoring=True
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_vectorized_signatures_match_hof(spark, emb):
     """The opt-in Arrow GEMM signature kernel (one (B,dim)@(dim,T*P)
     matmul per batch) must agree with the JVM plane-tensor fold on every
@@ -546,3 +605,14 @@ def test_contamination_ignores_empty_items(spark):
     )
     out = benchmark_contamination(docs, bench, n=2).collect()
     assert {(r["doc_id"], r["bench_id"]) for r in out} == {(1, 12)}
+
+
+def test_brute_force_impl_parity(spark, emb):
+    """r7: the arrow mapInPandas brute-force leg (corpus crosses the Python
+    boundary once, slim rows back) must be BIT-identical to the Catalyst
+    join+HOF-fold form — same unit values, same fold-order dots, rounding
+    Catalyst-side in both."""
+    q = emb.where(F.col("vec_id") < 8)
+    a = {tuple(r) for r in brute_force_topk(emb, q, k=5).collect()}
+    b = {tuple(r) for r in brute_force_topk(emb, q, k=5, impl="expr").collect()}
+    assert a == b and len(a) > 0
