@@ -302,12 +302,21 @@ def q_docs_stats(spark, sf_dir):
     scan, one 1-row result."""
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.agg(
+    # r7: project the per-row expressions ONCE, then aggregate the columns
+    # — the direct agg form held two independent quality_score(t) calls
+    # (min + max), each its own kernel/regex evaluation.  Same aggregates,
+    # same results.
+    proj = d.select(
+        doc_fingerprint(t).alias("_fp"),
+        token_count(t).cast("long").alias("_tok"),
+        quality_score(t).alias("_q"),
+    )
+    return proj.agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct(doc_fingerprint(t)).alias("n_distinct_contents"),
-        F.sum(token_count(t).cast("long")).alias("total_tokens"),
-        F.min(quality_score(t)).alias("min_quality"),
-        F.max(quality_score(t)).alias("max_quality"),
+        F.countDistinct("_fp").alias("n_distinct_contents"),
+        F.sum("_tok").alias("total_tokens"),
+        F.min("_q").alias("min_quality"),
+        F.max("_q").alias("max_quality"),
     )
 
 
