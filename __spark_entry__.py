@@ -1100,7 +1100,11 @@ def q_docs_simhash_dedup(spark, sf_dir):
         d.select((F.col("doc_id") + _DOUBLE_OFFSET).alias("doc_id"), "text")
     )
     cand = simhash_near_dup_pairs(dd, max_hamming=0)
-    fp = dd.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    # r7: `fp` feeds TWO joins (a side, b side) — without a lineage cut the
+    # md5(_norm(text)) pass over the doubled corpus runs once per branch
+    fp = dd.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    ).localCheckpoint(eager=False)
     return (
         cand.join(fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fpa")), "a")
         .join(fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fpb")), "b")

@@ -317,11 +317,16 @@ def word_ngrams(text_col: str, n: int) -> F.Column:
     return F.array_distinct(grams)
 
 
-def _word_ngrams_udf(sizes: tuple[int, ...]):
+def _word_ngrams_udf(sizes: tuple[int, ...], keep: frozenset | None = None):
     """Arrow pandas UDF building the DISTINCT word n-gram set for every
     requested size — semantics identical to ``word_ngrams`` (incl. the
     whole-short-text floor), ~8x the interpreted HOF form (same lesson as
-    repetition_ratio / the IVF kernels)."""
+    repetition_ratio / the IVF kernels).  ``keep`` (r7): emit only grams in
+    the given set — the contamination path's downstream equi-join keeps
+    exactly those grams anyway, so filtering at the source turns a
+    corpus-sized gram explode (~90 gram strings per doc shuffled into the
+    join) into a near-empty one; the set is the SMALL side's gram set
+    (benchmark items), closure-shipped once per task."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
@@ -340,6 +345,8 @@ def _word_ngrams_udf(sizes: tuple[int, ...]):
                 else:
                     for i in range(total):
                         gs.add(" ".join(w[i:i + m]))
+            if keep is not None:
+                gs &= keep
             out.append(list(gs))
         return pd.Series(out)
 
@@ -394,8 +401,20 @@ def benchmark_contamination(
     nd = _with_norm(docs, text_col, id_col).where(F.length(F.col("_t")) > 0)
     gram_sizes = tuple([n, *short_lengths])
     if impl == "arrow":
-        doc_grams = _word_ngrams_udf(gram_sizes)(F.col("_t"))
+        # r7: the join keeps only doc grams that EXIST on the benchmark
+        # side, and the benchmark side is small by design — so collect its
+        # distinct gram set (one more metadata-sized driver read, like the
+        # short-lengths collect above) and filter doc-side grams inside
+        # the kernel.  The corpus-sized gram explode + join input shrinks
+        # to the actual matches; output is identical by construction.
         bench_grams = _word_ngrams_udf((n,))(F.col("_t"))
+        keep = frozenset(
+            r[0]
+            for r in nb.select(
+                F.explode(bench_grams).alias("g")
+            ).distinct().collect()
+        )
+        doc_grams = _word_ngrams_udf(gram_sizes, keep=keep)(F.col("_t"))
     elif impl == "expr":
         doc_grams = F.array_distinct(
             F.flatten(F.array(*[word_ngrams("_t", m) for m in gram_sizes]))
@@ -466,11 +485,34 @@ def verbatim_span_pairs(
     )
 
 
+def _simhash_assemble_kernel(bits: int):
+    """Flat numpy bit assembly for :func:`simhash` — see its docstring."""
+    from pyspark.sql.functions import pandas_udf
+
+    weights = None
+
+    @pandas_udf("long")
+    def assemble(ones: pd.Series, n: pd.Series) -> pd.Series:
+        import numpy as np
+
+        nonlocal weights
+        if weights is None:
+            weights = 2 ** np.arange(bits - 1, dtype=np.int64)
+        if not len(ones):
+            return pd.Series([], dtype="int64")
+        o = np.vstack(ones.to_numpy()).astype(np.int64)
+        nn = n.to_numpy().astype(np.int64)[:, None]
+        return pd.Series(((2 * o > nn) * weights).sum(axis=1))
+
+    return assemble
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    impl: str = "arrow",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, the sign of the sum of
     ±1 votes from each token's hash.  One explode + one groupBy with
@@ -483,7 +525,17 @@ def simhash(
     output to the ±1 form but 28% faster at sf0.1 (the when/otherwise vote
     was the per-row hot path; a 16-bit-lane SWAR packing was also measured
     and loses to this — the packing arithmetic costs more per token than
-    the narrower aggregate saves)."""
+    the narrower aggregate saves).
+
+    ``impl='arrow'`` (r7, default): the final bit ASSEMBLY — 63
+    when-terms chained into one 63-deep integer Add over the aggregated
+    counts — measured ~1.5 s at sf1.0 on its own (a giant nested
+    expression; the token agg it follows costs 1.6 s), and runs instead
+    as one flat numpy kernel over (ones[], n): ``((2*ones > n) *
+    2**b).sum()`` — pure integer math, bit-identical by construction
+    (``impl='expr'`` keeps the expression form; parity pytest-pinned).
+    The stored-signature values are unchanged, so persisted SimHash
+    indexes stay compatible."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(_norm(F.col(text_col)), " ")).alias("tok"),
@@ -493,14 +545,26 @@ def simhash(
         for b in range(bits)
     ]
     agg = toks.groupBy("id").agg(F.count("*").alias("n"), *ones)
-    bit_terms = [
-        F.when(2 * F.col(f"o{b}") > F.col("n"), F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    if impl == "arrow":
+        k = _simhash_assemble_kernel(bits)
+        out = agg.select(
+            "id",
+            k(
+                F.array(*[F.col(f"o{b}") for b in range(bits - 1)]),
+                F.col("n"),
+            ).alias("simhash"),
         )
-        for b in range(bits - 1)  # keep the sign bit clear: 63 usable bits
-    ]
-    hash_col = sum(bit_terms[1:], bit_terms[0])
-    out = agg.select("id", hash_col.alias("simhash"))
+    elif impl == "expr":
+        bit_terms = [
+            F.when(2 * F.col(f"o{b}") > F.col("n"), F.lit(2**b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(bits - 1)  # keep the sign bit clear: 63 usable bits
+        ]
+        hash_col = sum(bit_terms[1:], bit_terms[0])
+        out = agg.select("id", hash_col.alias("simhash"))
+    else:
+        raise ValueError(f"unknown simhash impl: {impl!r}")
     return out.select(
         "id",
         "simhash",

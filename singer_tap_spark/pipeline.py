@@ -954,7 +954,14 @@ class CDCPipeline:
                 if c not in key_cols
                 and c not in ("shard", "offset", "seq", "op", "ts", "schema_version")
             ]
-            b = lww_latest(batch, key_cols, ("ts", "seq"))
+            # r7: project before the exchange (guide §2.3) — the feed emits
+            # (key, op, payload, ts, seq) and the state merge drops
+            # shard/offset/schema_version anyway, so those columns must not
+            # ride the batch-LWW key shuffle
+            b = lww_latest(
+                batch.select(*key_cols, "op", *payload, "ts", "seq"),
+                key_cols, ("ts", "seq"),
+            )
             feed_dir = f"{feed_path}/batch={batch_id}"
             feed_committed = _os.path.exists(f"{feed_dir}/_SUCCESS")
             changed = b

@@ -119,3 +119,54 @@ def test_vocab_and_exact_k_plans_are_topk(spark):
     assert "TakeOrderedAndProject" in p1 and "Sort [" not in p1
     p2 = exact_k_sample(docs, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p2 and "Sort [" not in p2
+
+
+def test_arrow_impls_match_expr(spark):
+    """r7: the Arrow/RE2 kernels behind lang_id / quality_score /
+    redact_pii / pii_counts / normalize_text must agree with the
+    pure-Catalyst expr impls EXACTLY — same integer counts, byte-identical
+    replaced text — on real corpus text plus the decorated/degenerate
+    family (dirty unicode suffix, planted PII, NULL/empty/whitespace-only
+    rows; NULL-text pii_counts must reproduce the session's size(NULL)
+    semantics)."""
+    from functools import reduce
+
+    from singer_tap_spark.ops.text import (
+        lang_id,
+        normalize_text,
+        pii_counts,
+        quality_score,
+        redact_pii,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dirty = F.concat(F.col("text"), F.lit("\x07 “quoted” – … tail"))
+    pii = F.concat(
+        F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.com or 555-123-0001 from 10.0.0.1 ssn 123-45-6789"),
+    )
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "   "),
+         (100004, "　‘x’—y\x07")],
+        "doc_id long, text string",
+    )
+    dd = d.select(
+        "doc_id", dirty.alias("t1"), pii.alias("t2"), F.col("text").alias("t0")
+    ).unionByName(extra.select(
+        "doc_id", F.col("text").alias("t1"), F.col("text").alias("t2"),
+        F.col("text").alias("t0"),
+    ))
+    for col in ("t0", "t1", "t2"):
+        t = F.col(col)
+        checks = [
+            lang_id(t).eqNullSafe(lang_id(t, impl="expr")),
+            quality_score(t).eqNullSafe(quality_score(t, impl="expr")),
+            redact_pii(t).eqNullSafe(redact_pii(t, impl="expr")),
+            normalize_text(t).eqNullSafe(normalize_text(t, impl="expr")),
+        ] + [
+            x.eqNullSafe(y)
+            for x, y in zip(pii_counts(t), pii_counts(t, impl="expr"))
+        ]
+        cmp = dd.select(*[c.alias(f"c{i}") for i, c in enumerate(checks)])
+        anybad = reduce(lambda a, b: a | b, [~F.col(c) for c in cmp.columns])
+        assert cmp.where(anybad).count() == 0, col
