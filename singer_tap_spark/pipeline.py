@@ -537,7 +537,7 @@ class CDCPipeline:
         batch = self._normalize(self._project(batch))
         # NOTE: no explicit exact-duplicate pass here.  Replayed events tie
         # on (ts, seq) with byte-identical payloads, so the merge's LWW
-        # max_by collapses them for free — an extra dropDuplicates would be
+        # top-1 collapses them for free — an extra dropDuplicates would be
         # a full-data shuffle spent removing rows the aggregate already
         # ignores.  (Streaming additionally runs dropDuplicatesWithinWatermark
         # upstream to keep *state-bounded* cross-batch dedup.)
@@ -677,7 +677,7 @@ class CDCPipeline:
 
         NO state-store dedup on this path (r3): the merge sink is already
         idempotent to exact replays — tied (ts, seq) byte-identical rows
-        collapse inside the LWW ``max_by`` for free — so a
+        collapse inside the LWW top-1 for free — so a
         ``dropDuplicatesWithinWatermark`` upstream was a redundant
         full-data state shuffle per microbatch (measured 2.5x end-to-end
         on the 2M-event bench log, final tables identical).  The delta

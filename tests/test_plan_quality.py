@@ -34,11 +34,15 @@ def test_projection_pushdown_reaches_scan(spark):
 
 
 def test_lww_uses_partial_aggregation(spark):
-    """max_by must run as partial_max_by before the shuffle (map-side
-    combine) — the skew-proofness property."""
+    """The LWW top-1 must prune map-side BEFORE the shuffle — the
+    skew-proofness property (a hot key ships at most one row per input
+    partition).  r7: the engine is row_number==1 with Spark's
+    WindowGroupLimit, which plans a Partial group-limit below the
+    exchange and a Final one above it (the window-form twin of the old
+    partial_max_by map-side combine)."""
     df = generate_changelog(spark, 1000)
     plan = _plan(lww_latest(df))
-    assert "partial_max_by" in plan
+    assert "Partial" in plan and plan.count("WindowGroupLimit") >= 2, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # exactly one shuffle
 
 
