@@ -553,13 +553,33 @@ class CDCPipeline:
             # POST-align (stored-schema-typed) key, and xxhash64 is
             # type-sensitive — a wire SCHEMA narrowing the pk (int batch
             # vs bigint store) would otherwise compute a wrong affected
-            # set and prune the stored rows out of the LWW merge
-            aggs.append(
-                F.collect_set(
-                    self.lake.probe_bucket_expr(F.col(self.lake.bucket_key))
-                ).alias("bks")
-            )
-        stats = batch.groupBy("shard").agg(*aggs).collect()
+            # set and prune the stored rows out of the LWW merge.
+            # r7: grouped on (shard, bucket) — still ONE pass over the
+            # batch, but a plain partial hash agg into a <= shards x
+            # n_buckets grid instead of a per-shard collect_set OBJECT
+            # aggregate (measured 0.88 s -> 0.59 s on the 20M-event
+            # batch); per-shard cursors fold driver-side from the
+            # metadata-sized grid.
+            grid = batch.groupBy(
+                "shard",
+                self.lake.probe_bucket_expr(
+                    F.col(self.lake.bucket_key)
+                ).alias("_bk"),
+            ).agg(*aggs).collect()
+            per_shard: dict = {}
+            for r in grid:
+                mx, n, bks = per_shard.get(r["shard"], (None, 0, set()))
+                if r["mx"] is not None:
+                    mx = r["mx"] if mx is None else max(mx, r["mx"])
+                if r["_bk"] is not None:
+                    bks.add(r["_bk"])
+                per_shard[r["shard"]] = (mx, n + r["n"], bks)
+            stats = [
+                {"shard": s, "mx": mx, "n": n, "bks": bks}
+                for s, (mx, n, bks) in per_shard.items()
+            ]
+        else:
+            stats = batch.groupBy("shard").agg(*aggs).collect()
         n_events = sum(r["n"] for r in stats)
         if n_events == 0:
             # consume the pending reject count even on an all-rejected (or
